@@ -1,0 +1,195 @@
+"""2D segmentation UNet, TPU-first.
+
+Capability parity with reference semi_seg/arch/unet.py:100-297, redesigned
+for XLA rather than translated:
+
+- **NHWC layout** (TPU-native; torch reference is NCHW).
+- The forward returns a ``{stage_name: activation}`` dict instead of using
+  torch forward hooks (reference semi_seg/arch/hook.py:13-143 has no JAX
+  analog); XLA dead-code-eliminates stages nobody consumes under jit.
+- ``until=`` early exit (reference unet.py:156-230) is a *static* argument:
+  the traced program genuinely ends at that stage.
+- ``set_grad`` stage ranges (reference unet.py:242-259) become parameter
+  masks applied to gradients (spcl_tpu/models/masking.py) — a functional
+  equivalent that composes with optax.
+- BatchNorm uses flax mutable batch_stats with optional ``axis_name`` so
+  running statistics are correct under data parallelism (a capability the
+  reference never had); ``set_bn_track`` (reference unet.py:261-287)
+  corresponds to calling with ``update_bn_stats=False``.
+
+Stage channel dims: max_channel/16 * {1,2,4,8,16} over the encoder, mirrored
+by the decoder (reference unet.py:101-102, 232-239).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+ENCODER_NAMES: Tuple[str, ...] = ("Conv1", "Conv2", "Conv3", "Conv4", "Conv5")
+DECODER_NAMES: Tuple[str, ...] = ("Up5", "Up_conv5", "Up4", "Up_conv4", "Up3", "Up_conv3",
+                                  "Up2", "Up_conv2", "Deconv_1x1")
+ARCH_ELEMENTS: Tuple[str, ...] = ENCODER_NAMES + DECODER_NAMES
+
+# stages that produce returnable feature maps (reference `layer_dimension`)
+LAYER_DIMENSION = {"Conv1": 1, "Conv2": 2, "Conv3": 4, "Conv4": 8, "Conv5": 16,
+                   "Up_conv5": 8, "Up_conv4": 4, "Up_conv3": 2, "Up_conv2": 1,
+                   "Deconv_1x1": None}
+
+
+@lru_cache()
+def arch_order(name: str) -> int:
+    return ARCH_ELEMENTS.index(name)
+
+
+def sort_arch(names: Sequence[str], reverse: bool = False) -> List[str]:
+    return sorted(names, key=arch_order, reverse=reverse)
+
+
+def get_channel_dim(layer_name: str, *, max_channel: int = 256, num_classes: int = None) -> int:
+    if layer_name == "Deconv_1x1":
+        if num_classes is None:
+            raise ValueError("num_classes required for Deconv_1x1")
+        return num_classes
+    return int(LAYER_DIMENSION[layer_name] / 16 * max_channel)
+
+
+def stages_up_to(until: Optional[str]) -> Tuple[str, ...]:
+    """All computable stages up to and including `until` (None = all)."""
+    if until is None:
+        return tuple(LAYER_DIMENSION.keys())
+    if until not in LAYER_DIMENSION:
+        raise KeyError(f"`until` should be one of {list(LAYER_DIMENSION)}, got {until}")
+    keys = list(LAYER_DIMENSION.keys())
+    return tuple(keys[: keys.index(until) + 1])
+
+
+class ConvBlock(nn.Module):
+    """(conv3x3 -> BN -> ReLU) x 2, bias-free convs (reference unet.py:67-82)."""
+    out_ch: int
+    momentum: float = 0.1  # torch convention: running = (1-m)*running + m*batch
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        # `disable_bn` (reference new_epocher.py:216-226) is realized at the
+        # apply() level: run with mutable batch_stats and discard the update.
+        for i in range(2):
+            x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=1.0 - self.momentum, dtype=jnp.float32,
+                             axis_name=self.axis_name if train else None,
+                             use_fast_variance=False,
+                             name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class UpConv(nn.Module):
+    """nearest-upsample x2 -> conv3x3 -> BN -> ReLU (reference unet.py:85-97)."""
+    out_ch: int
+    momentum: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+        x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=1.0 - self.momentum,
+                         dtype=jnp.float32, use_fast_variance=False,
+                         axis_name=self.axis_name if train else None, name="bn")(x)
+        return nn.relu(x)
+
+
+class UNet(nn.Module):
+    """5-stage encoder / 4-stage decoder UNet with named-stage outputs."""
+    input_dim: int = 1
+    num_classes: int = 4
+    max_channel: int = 256
+    momentum: float = 0.1
+    dtype: jnp.dtype = jnp.float32  # compute dtype; params & BN stay f32
+    axis_name: Optional[str] = None  # mesh axis for cross-replica BN stats
+
+    def channel_dim(self, name: str) -> int:
+        return get_channel_dim(name, max_channel=self.max_channel, num_classes=self.num_classes)
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, until: Optional[str] = None,
+                 ) -> Dict[str, jnp.ndarray]:
+        """Run the net, returning `{stage: activation}` for every computed stage.
+
+        `until` is static: tracing stops at that stage (reference
+        unet.py:156-230's partial forward). The final logits live under
+        both "Deconv_1x1" and "logits".
+        """
+        assert self.max_channel % 16 == 0 and self.max_channel >= 128, self.max_channel
+        stages_up_to(until)  # validates `until`
+        kw = dict(momentum=self.momentum, dtype=self.dtype, axis_name=self.axis_name)
+        x = x.astype(self.dtype)
+        acts: Dict[str, jnp.ndarray] = {}
+
+        def pool(v):
+            return nn.max_pool(v, (2, 2), strides=(2, 2))
+
+        e1 = ConvBlock(self.channel_dim("Conv1"), name="Conv1", **kw)(x, train=train)
+        acts["Conv1"] = e1
+        if until == "Conv1":
+            return acts
+        e2 = ConvBlock(self.channel_dim("Conv2"), name="Conv2", **kw)(pool(e1), train=train)
+        acts["Conv2"] = e2
+        if until == "Conv2":
+            return acts
+        e3 = ConvBlock(self.channel_dim("Conv3"), name="Conv3", **kw)(pool(e2), train=train)
+        acts["Conv3"] = e3
+        if until == "Conv3":
+            return acts
+        e4 = ConvBlock(self.channel_dim("Conv4"), name="Conv4", **kw)(pool(e3), train=train)
+        acts["Conv4"] = e4
+        if until == "Conv4":
+            return acts
+        e5 = ConvBlock(self.channel_dim("Conv5"), name="Conv5", **kw)(pool(e4), train=train)
+        acts["Conv5"] = e5
+        if until == "Conv5":
+            return acts
+
+        d5 = UpConv(self.channel_dim("Up_conv5"), name="Up5", **kw)(e5, train=train)
+        d5 = ConvBlock(self.channel_dim("Up_conv5"), name="Up_conv5", **kw)(
+            jnp.concatenate([e4, d5], axis=-1), train=train)
+        acts["Up_conv5"] = d5
+        if until == "Up_conv5":
+            return acts
+
+        d4 = UpConv(self.channel_dim("Up_conv4"), name="Up4", **kw)(d5, train=train)
+        d4 = ConvBlock(self.channel_dim("Up_conv4"), name="Up_conv4", **kw)(
+            jnp.concatenate([e3, d4], axis=-1), train=train)
+        acts["Up_conv4"] = d4
+        if until == "Up_conv4":
+            return acts
+
+        d3 = UpConv(self.channel_dim("Up_conv3"), name="Up3", **kw)(d4, train=train)
+        d3 = ConvBlock(self.channel_dim("Up_conv3"), name="Up_conv3", **kw)(
+            jnp.concatenate([e2, d3], axis=-1), train=train)
+        acts["Up_conv3"] = d3
+        if until == "Up_conv3":
+            return acts
+
+        d2 = UpConv(self.channel_dim("Up_conv2"), name="Up2", **kw)(d3, train=train)
+        d2 = ConvBlock(self.channel_dim("Up_conv2"), name="Up_conv2", **kw)(
+            jnp.concatenate([e1, d2], axis=-1), train=train)
+        acts["Up_conv2"] = d2
+        if until == "Up_conv2":
+            return acts
+
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="Deconv_1x1")(d2)
+        logits = logits.astype(jnp.float32)
+        acts["Deconv_1x1"] = logits
+        acts["logits"] = logits
+        return acts
