@@ -1,0 +1,118 @@
+"""Offline data packing: folder-of-PNGs -> contiguous arrays; synthetic data.
+
+The reference reads PNG slices through PIL in DataLoader workers every step
+(contrastyou/data/dataset/base.py:59-227). TPU-first we pay the decode once:
+`pack_png_folder` converts a reference-layout dataset directory
+(`<root>/<train|val>/{img,gt}/*.png`) into one .npz of packed uint8 arrays +
+metadata, and training streams pure array indexing.
+
+`synthetic_dataset` builds an in-memory dataset with the same scan/partition
+structure (random blobs + label maps) so every epocher/trainer test and the
+bench run without the real (gdrive-hosted) data — a capability the reference
+lacks (SURVEY.md §4: its integration tests demand downloaded data + CUDA).
+
+Auto-download (reference `_ioutils.py` via gdown) is stubbed: this
+environment has zero egress; `pack_png_folder` raises a clear error if the
+source directory is missing.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .dataset import SliceDataset
+from ..constants import DATASET_SPECS
+
+
+def _load_png(path: Path) -> np.ndarray:
+    from PIL import Image
+    return np.asarray(Image.open(path))
+
+
+def _fit_canvas(arr: np.ndarray, canvas: int, is_label: bool) -> np.ndarray:
+    """Center-crop/pad to (canvas, canvas) without resampling (labels stay exact)."""
+    h, w = arr.shape[:2]
+    out = np.zeros((canvas, canvas), dtype=arr.dtype)
+    ch, cw = min(h, canvas), min(w, canvas)
+    src_y, src_x = (h - ch) // 2, (w - cw) // 2
+    dst_y, dst_x = (canvas - ch) // 2, (canvas - cw) // 2
+    out[dst_y:dst_y + ch, dst_x:dst_x + cw] = arr[src_y:src_y + ch, src_x:src_x + cw]
+    return out
+
+
+def pack_png_folder(root_dir: str, name: str, mode: str = "train",
+                    canvas: int = 256, save_path: Optional[str] = None) -> SliceDataset:
+    """Pack `<root>/<mode>/img/*.png` (+ `gt/`) into a SliceDataset.
+
+    mode: "train" | "val" (reference folder layout, base.py:76-116).
+    """
+    src = Path(root_dir) / mode
+    img_dir, gt_dir = src / "img", src / "gt"
+    if not img_dir.exists():
+        raise FileNotFoundError(
+            f"{img_dir} not found. This environment cannot auto-download the "
+            f"reference datasets (zero egress); place the unpacked "
+            f"{name} data under {root_dir} or use synthetic_dataset().")
+    stems = sorted(p.stem for p in img_dir.glob("*.png"))
+    images = np.stack([_fit_canvas(_load_png(img_dir / f"{s}.png"), canvas, False) for s in stems])
+    if gt_dir.exists():
+        labels = np.stack([_fit_canvas(_load_png(gt_dir / f"{s}.png"), canvas, True) for s in stems])
+    else:
+        labels = np.zeros_like(images)
+    ds = SliceDataset(name=name, images=images.astype(np.uint8),
+                      labels=labels.astype(np.uint8), filenames=stems)
+    if save_path:
+        save_packed(ds, save_path)
+    return ds
+
+
+def save_packed(ds: SliceDataset, path: str) -> None:
+    np.savez_compressed(
+        path, name=ds.name, images=ds.images, labels=ds.labels,
+        filenames=np.asarray(ds.filenames))
+
+
+def load_packed(path: str) -> SliceDataset:
+    z = np.load(path, allow_pickle=False)
+    return SliceDataset(name=str(z["name"]), images=z["images"], labels=z["labels"],
+                        filenames=[str(f) for f in z["filenames"]])
+
+
+def synthetic_dataset(name: str = "acdc", num_scans: int = 10,
+                      slices_per_scan: Tuple[int, int] = (8, 12), canvas: int = 256,
+                      seed: int = 0, mode: str = "train") -> SliceDataset:
+    """Random dataset with realistic scan/partition/filename structure."""
+    spec = DATASET_SPECS[name]
+    rng = np.random.default_rng(seed + (0 if mode == "train" else 1))
+    num_classes = spec["num_classes"]
+    stems, imgs, labs = [], [], []
+    for s in range(num_scans):
+        n_slices = int(rng.integers(slices_per_scan[0], slices_per_scan[1] + 1))
+        if name == "acdc":
+            scan = f"patient{s:03d}_{rng.integers(0, 2):02d}"
+        elif name == "prostate":
+            scan = f"Case{s:02d}"
+        elif name == "prostate_md":
+            scan = f"prostate_{s:02d}"
+        else:
+            scan = f"{1000 + s}"
+        # a blob whose position drifts with slice index (so partitions differ)
+        yy, xx = np.mgrid[0:canvas, 0:canvas]
+        cx = rng.integers(canvas // 3, 2 * canvas // 3)
+        cy0 = canvas // 4
+        for i in range(n_slices):
+            cy = cy0 + (i * canvas // 2) // max(n_slices - 1, 1)
+            r = rng.integers(canvas // 10, canvas // 6)
+            blob = ((yy - cy) ** 2 + (xx - cx) ** 2) < r ** 2
+            img = (rng.normal(0.25, 0.08, (canvas, canvas)) + blob * 0.5).clip(0, 1)
+            lab = np.zeros((canvas, canvas), np.uint8)
+            for c in range(1, num_classes):
+                rc = max(int(r * (1 - 0.25 * c)), 2)
+                lab[((yy - cy) ** 2 + (xx - cx) ** 2) < rc ** 2] = c
+            stems.append(f"{scan}_{i:02d}")
+            imgs.append((img * 255).astype(np.uint8))
+            labs.append(lab)
+    return SliceDataset(name=name, images=np.stack(imgs), labels=np.stack(labs),
+                        filenames=stems)
