@@ -67,6 +67,7 @@ class SliceDataset:
     cycles: np.ndarray = field(default=None)       # [N] int32 (ACDC ED/ES; zeros otherwise)
     scan_index: np.ndarray = field(default=None)   # [N] int32 index into unique_scans
     unique_scans: List[str] = field(default=None)
+    patient_index: np.ndarray = field(default=None)  # [N] int32; ACDC: patientXXX (cycle stripped)
 
     def __post_init__(self):
         spec = DATASET_SPECS[self.name]
@@ -94,6 +95,15 @@ class SliceDataset:
                     [0 if s.split("_")[-1] == "00" else 1 for s in self.scan_names], np.int32)
             else:
                 self.cycles = np.zeros(n, np.int32)
+        if self.patient_index is None:
+            # reference get_label (semi_seg/hooks/utils.py:48-58): acdc patient
+            # id strips the cycle suffix; other datasets use the scan id
+            if spec["has_cycle"]:
+                patients = [s.split("_")[0] for s in self.scan_names]
+            else:
+                patients = list(self.scan_names)
+            p2i = {p: i for i, p in enumerate(sorted(set(patients)))}
+            self.patient_index = np.asarray([p2i[p] for p in patients], np.int32)
 
     # -- reference-api parity helpers -------------------------------------------------
     def __len__(self) -> int:
@@ -159,6 +169,7 @@ class SliceDataset:
             "image": imgs[..., None],
             "label": self.labels[idx].astype(np.int32),
             "scan_idx": np.where(pad_meta, -1, self.scan_index[idx]).astype(np.int32),
+            "patient": np.where(pad_meta, -1, self.patient_index[idx]).astype(np.int32),
             "partition": np.where(pad_meta, -1, self.partitions[idx]).astype(np.int32),
             "cycle": np.where(pad_meta, -1, self.cycles[idx]).astype(np.int32),
             "valid": valid,

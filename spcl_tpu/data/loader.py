@@ -35,7 +35,8 @@ class HostLoader:
         return self._sampler
 
     def __len__(self):
-        return len(self._sampler)
+        # infinite samplers have no len; mirror torch DataLoader's TypeError
+        return len(self._sampler)  # type: ignore[arg-type]
 
     def __iter__(self):
         for idx in self._sampler:

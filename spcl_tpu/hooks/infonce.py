@@ -1,0 +1,133 @@
+"""InfoNCE / self-paced InfoNCE hooks — the paper's pretraining losses.
+
+Parity with reference semi_seg/hooks/infonce.py:
+- `INFONCEHook` (:56-110): taps a UNet stage; encoder stages use a pooled
+  `ProjectionHead`, decoder stages a `DenseProjectionHead` with 5 random
+  spatial points SimCLR-paired (:201-241); labels from `contrast_on`
+  meta-labels.
+- `SelfPacedINFONCEHook` (:113-141): adds the PScheduler gamma ramp and the
+  self-paced criterion; meters sp_weight (downgrade ratio) + age_param.
+
+Flow inside the jitted step (reference :171-195):
+  features of the two views <- ctx["acts"][stage][-2n:]
+  view-1 features re-flipped with the step's flip params (geometry align)
+  projector -> z (L2-normalized)
+  loss = (SelfPaced)SupCon(z1, z2, target=meta_labels)
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .base import TrainerHook, label_from_contrast_on
+from ..data.augment import apply_flip
+from ..losses.supcon import self_paced_supcon_loss, supcon_loss
+from ..models.heads import DenseProjectionHead, ProjectionHead
+from ..models.unet import ENCODER_NAMES
+from ..schedulers.gamma import PScheduler
+
+
+class INFONCEHook(TrainerHook):
+    def __init__(self, *, name: str, feature_name: str, weight: float = 1.0,
+                 contrast_on: str = "partition", spatial_size: Optional[Tuple[int, int]] = None,
+                 temperature: float = 0.07, num_sampled_points: int = 5):
+        super().__init__(name, weight)
+        self.feature_name = feature_name
+        self.contrast_on = contrast_on
+        self.temperature = float(temperature)
+        self.is_encoder = feature_name in ENCODER_NAMES
+        if spatial_size is None:
+            spatial_size = (1, 1) if self.is_encoder else (10, 10)
+        self.spatial_size = tuple(spatial_size)
+        self.num_sampled_points = int(num_sampled_points)
+        if self.is_encoder:
+            self._projector = ProjectionHead(output_dim=256, hidden_dim=256, head_type="mlp",
+                                             normalize=True, spatial_size=self.spatial_size)
+        else:
+            self._projector = DenseProjectionHead(output_dim=256, hidden_dim=256, head_type="mlp",
+                                                  normalize=True, spatial_size=self.spatial_size)
+
+    def build(self, key: jax.Array, model, sample_acts: Dict) -> Dict:
+        feats = sample_acts[self.feature_name]
+        return self._projector.init(key, feats)
+
+    # ---- traced ---------------------------------------------------------------
+    def _projected_views(self, params, ctx):
+        n = ctx["n_unl"]
+        feats = ctx["acts"][self.feature_name][-2 * n:]
+        v1, v2 = feats[:n], feats[n:]
+        # align view-1 features into the flipped frame (reference :177-179)
+        v1_tf = apply_flip(v1, ctx["flip"])
+        z = self._projector.apply(params, jnp.concatenate([v1_tf, v2], axis=0))
+        return z[:n], z[n:]
+
+    def _criterion(self, z1, z2, target, valid, scalars):
+        loss, aux = supcon_loss(z1, z2, target=target, valid=valid,
+                                temperature=self.temperature)
+        return loss, {"loss": loss}
+
+    def loss_fn(self, params, ctx, scalars):
+        z1, z2 = self._projected_views(params, ctx)
+        if self.is_encoder:
+            target = label_from_contrast_on(ctx, self.contrast_on)
+            loss, metrics = self._criterion(z1, z2, target, ctx["valid"], scalars)
+        else:
+            loss, metrics = self._dense_loss(z1, z2, ctx, scalars)
+        return loss * self.weight, metrics
+
+    def _dense_loss(self, z1, z2, ctx, scalars):
+        """Decoder stages: pick `num_sampled_points` random locations per image
+        from the SAME key for both views (reference :212-218), SimCLR-pair them."""
+        n, h, w, d = z1.shape
+        p = self.num_sampled_points
+        ky, kx = jax.random.split(jax.random.fold_in(ctx["key"], 17))
+        ys = jax.random.randint(ky, (n, p), 0, h)
+        xs = jax.random.randint(kx, (n, p), 0, w)
+
+        def gather(zmap, y, x):
+            return zmap[y, x]  # [p, d]
+
+        s1 = jax.vmap(gather)(z1, ys, xs).reshape(n * p, d)
+        s2 = jax.vmap(gather)(z2, ys, xs).reshape(n * p, d)
+        valid = jnp.repeat(ctx["valid"], p)
+        target = jnp.where(valid > 0, jnp.arange(n * p, dtype=jnp.int32), -1)
+        loss, metrics = self._criterion(s1, s2, target, valid, scalars)
+        return loss, metrics
+
+
+class SelfPacedINFONCEHook(INFONCEHook):
+    def __init__(self, *, name: str, feature_name: str, weight: float = 1.0,
+                 contrast_on: str = "partition", spatial_size=None, temperature: float = 0.07,
+                 mode: str = "soft", p: float = 0.5, begin_value: float = 1e6,
+                 end_value: float = 1e6, correct_grad: bool = False, max_epoch: int = 80):
+        super().__init__(name=name, feature_name=feature_name, weight=weight,
+                         contrast_on=contrast_on, spatial_size=spatial_size,
+                         temperature=temperature)
+        assert mode in ("soft", "hard"), mode
+        self.mode = mode
+        self.correct_grad = bool(correct_grad)
+        self.scheduler = PScheduler(max_epoch=max_epoch, begin_value=begin_value,
+                                    end_value=end_value, p=p)
+
+    def epoch_scalars(self, epoch: int) -> Dict[str, float]:
+        # reference :133-136: gamma read then scheduler stepped each epoch
+        return {"gamma": float(self.scheduler.get_value(epoch))}
+
+    def on_epoch_end(self) -> None:
+        self.scheduler.step()
+
+    def _criterion(self, z1, z2, target, valid, scalars):
+        gamma = scalars["gamma"]
+        loss, aux = self_paced_supcon_loss(
+            z1, z2, target=target, valid=valid, gamma=gamma,
+            temperature=self.temperature, weight_update=self.mode,
+            correct_grad=self.correct_grad)
+        return loss, {"loss": loss, "sp_weight": aux.downgrade_ratio, "age_param": gamma}
+
+    def state_dict(self):
+        return {"scheduler": self.scheduler.state_dict()}
+
+    def load_state_dict(self, state):
+        self.scheduler.load_state_dict(state["scheduler"])

@@ -1,0 +1,491 @@
+"""Trainers: outer epoch loops around the jitted steps.
+
+Capability parity with reference contrastyou/trainer/base.py:23-155 +
+semi_seg/trainers/new_trainer.py:17-120 + new_pretrain.py:18-110:
+
+- `init()` builds the optimizer (RAdam + warmup-x-multiplier->cosine over
+  epochs) over model AND hook (projector) params, the TrainState, and the
+  jitted steps;
+- `register_hooks` before init; hook activation is config-driven;
+- epoch loop: train epoch -> val + test eval -> `best.ckpt` on val-score
+  improvement + `last.ckpt` always -> CSV storage flush -> hook epoch-end;
+- pretrain trainers skip eval and save `last.ckpt` each epoch;
+- full-state resume + model-only warm start.
+
+TPU specifics: meters consume one bulk `jax.device_get` per step; augmentation
+is inside the step; the per-epoch gamma/lr scalars enter as traced values.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint import load_checkpoint, load_model_params, save_checkpoint
+from .optim import build_optimizer
+from .state import TrainState, create_train_state
+from .steps import (build_adversarial_step, build_eval_step, build_finetune_step,
+                    build_pretrain_step, build_semi_step)
+from ..data.augment import POLICY_ZOO, AugmentPolicy
+from ..data.loader import HostLoader
+from ..hooks.base import TrainerHook, get_individual_hooks
+from ..meters import AverageValueMeter, MeterInterface, Storage, UniversalDice
+from ..models.discriminator import Discriminator
+from ..models.masking import stage_trainable_mask, stages_from_range
+from ..models.unet import UNet, stages_up_to
+from ..schedulers.lr import warmup_cosine_epoch_schedule
+from ..utils.rng import KeyChain
+from ..utils.utils import get_logger, yaml_write
+
+logger = get_logger("trainer")
+
+
+class Trainer:
+    """Base supervised/semi-supervised trainer."""
+    activate_hooks = True
+    train_meter_focus = "tra"
+
+    def __init__(self, *, model: UNet, labeled_loader: HostLoader,
+                 unlabeled_loader: Optional[HostLoader], val_loader: HostLoader,
+                 test_loader: Optional[HostLoader], save_dir: str,
+                 max_epoch: int = 100, num_batches: int = 100,
+                 config: Optional[Dict] = None, seed: int = 10,
+                 crop: int = 224, data_name: str = "acdc",
+                 two_stage: bool = False, disable_bn: bool = False):
+        self._model = model
+        self._labeled_loader = labeled_loader
+        self._unlabeled_loader = unlabeled_loader
+        self._val_loader = val_loader
+        self._test_loader = test_loader
+        self._save_dir = str(save_dir)
+        self._max_epoch = int(max_epoch)
+        self._num_batches = int(num_batches)
+        self._config = config or {}
+        self._crop = int(crop)
+        self._data_name = data_name
+        self._two_stage = bool(two_stage)
+        self._disable_bn = bool(disable_bn)
+        self._hooks: List[TrainerHook] = []
+        self._keychain = KeyChain(seed)
+        self._storage = Storage(save_dir=self._save_dir)
+        self._cur_epoch = 0
+        self._best_score = -np.inf
+        self._trainable_stages: Optional[List[str]] = None
+        self.__initialized__ = False
+        if self._config:
+            yaml_write(self._config, self._save_dir, "config.yaml")
+
+    # ----------------------------------------------------------------- registration
+    def register_hooks(self, *hooks: TrainerHook) -> None:
+        if self.__initialized__:
+            raise RuntimeError("register_hooks must be called before init()")
+        self._hooks.extend(get_individual_hooks(*hooks))
+
+    def set_trainable_stages(self, stages: Sequence[str]) -> None:
+        """Functional `set_grad` (reference arch/unet.py:242-259)."""
+        self._trainable_stages = list(stages)
+
+    # ----------------------------------------------------------------- init
+    @property
+    def train_policy(self) -> AugmentPolicy:
+        return POLICY_ZOO[self._data_name]["pretrain"]
+
+    def _sample_image_shape(self):
+        canvas = self._labeled_loader.dataset.images.shape[1]
+        return (2, canvas, canvas, 1)
+
+    def init(self) -> None:
+        optim_cfg = dict(self._config.get("Optim", {}))
+        sched_cfg = self._config.get("Scheduler")
+        base_lr = float(optim_cfg.get("lr", 1e-7))
+        if sched_cfg:
+            self._lr_schedule = warmup_cosine_epoch_schedule(
+                base_lr=base_lr, multiplier=float(sched_cfg.get("multiplier", 300)),
+                warmup_max=int(sched_cfg.get("warmup_max", 10)),
+                max_epoch=self._max_epoch, steps_per_epoch=self._num_batches)
+        else:
+            self._lr_schedule = lambda step: jnp.asarray(base_lr, jnp.float32)
+        self._optimizer = build_optimizer(
+            name=optim_cfg.get("name", "RAdam"), lr=self._lr_schedule,
+            weight_decay=float(optim_cfg.get("weight_decay", 0.0)))
+
+        # model + hook params
+        key = self._keychain.next()
+        k_model, k_hooks = jax.random.split(key)
+        sample = jnp.zeros(self._sample_image_shape(), jnp.float32)
+        variables = self._model.init(k_model, sample[:, :self._crop, :self._crop], train=False)
+        model_params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        ckpt = (self._config.get("Arch") or {}).get("checkpoint")
+        if ckpt:
+            model_params, batch_stats = load_model_params(
+                ckpt, {"params": model_params, "batch_stats": batch_stats})
+            logger.info("warm-started model weights from %s", ckpt)
+
+        sample_acts = self._model.apply(
+            {"params": model_params, "batch_stats": batch_stats},
+            sample[:, :self._crop, :self._crop], train=False)
+        hook_params = {}
+        for i, h in enumerate(self._hooks):
+            p = h.build(jax.random.fold_in(k_hooks, i), self._model, sample_acts)
+            if p is not None:
+                hook_params[h.name] = p
+
+        grad_mask = None
+        if self._trainable_stages is not None:
+            grad_mask = stage_trainable_mask(model_params, self._trainable_stages)
+        self._grad_mask = grad_mask
+
+        needs_teacher = any(h.needs_teacher for h in self._hooks)
+        self._state = self._create_state(model_params, batch_stats, hook_params,
+                                         needs_teacher)
+        self._build_steps()
+        self.__initialized__ = True
+
+    def _create_state(self, model_params, batch_stats, hook_params, needs_teacher):
+        return create_train_state(model_params=model_params, batch_stats=batch_stats,
+                                  hook_params=hook_params, tx=self._optimizer,
+                                  teacher=needs_teacher)
+
+    def _build_steps(self) -> None:
+        num_classes = self._model.num_classes
+        hooks = self._hooks if self.activate_hooks else []
+        self._train_step = build_semi_step(
+            self._model, hooks, self._optimizer, num_classes=num_classes,
+            policy=self.train_policy, grad_mask=self._grad_mask,
+            two_stage=self._two_stage, disable_bn=self._disable_bn)
+        self._eval_step = build_eval_step(self._model, num_classes=num_classes,
+                                          crop=self._crop)
+
+    # ----------------------------------------------------------------- epochs
+    def _hook_scalars(self) -> Dict[str, Dict[str, float]]:
+        return {h.name: h.epoch_scalars(self._cur_epoch) for h in self._hooks}
+
+    def _configure_train_meters(self, meters: MeterInterface) -> None:
+        C = self._model.num_classes
+        report = list(range(1, C))
+        meters.register_meter("lr", AverageValueMeter())
+        meters.register_meter("sup_loss", AverageValueMeter())
+        meters.register_meter("reg_loss", AverageValueMeter())
+        meters.register_meter("sup_dice", UniversalDice(C, report_axises=report))
+        for h in self._hooks:
+            with meters.focus_on(h.name):
+                for k in ("loss", "sp_weight", "age_param", "mi"):
+                    meters.register_meter(k, AverageValueMeter())
+
+    def _labeled_groups(self, batch) -> List[str]:
+        scans = self._labeled_loader.dataset.unique_scans
+        return [scans[i] if i >= 0 else "<pad>" for i in np.asarray(batch["scan_idx"])]
+
+    def _run_train_epoch(self) -> Dict:
+        meters = MeterInterface(default_focus=self.train_meter_focus)
+        with meters.focus_on(self.train_meter_focus):
+            self._configure_train_meters(meters)
+        scalars = self._hook_scalars()
+        lab_iter = iter(self._labeled_loader)
+        unl_iter = iter(self._unlabeled_loader) if self._unlabeled_loader is not None else None
+        t0 = time.time()
+        for b in range(self._num_batches):
+            batch_l = next(lab_iter)
+            groups = self._labeled_groups(batch_l)
+            key = self._keychain.next()
+            self._state, metrics = self._train_dispatch(batch_l, unl_iter, key, scalars)
+            self._consume_train_metrics(meters, metrics, groups, batch_l)
+        with meters.focus_on(self.train_meter_focus):
+            meters["lr"].add(float(self._lr_schedule(int(self._state.step) - 1)))
+        stats = meters.statistics()
+        stats.setdefault(self.train_meter_focus, {})["throughput"] = {
+            "slices_per_sec": self._epoch_slices() / max(time.time() - t0, 1e-9)}
+        return stats
+
+    def _epoch_slices(self) -> int:
+        per = self._labeled_loader.sampler._batch_size if hasattr(
+            self._labeled_loader.sampler, "_batch_size") else 0
+        if self._unlabeled_loader is not None and hasattr(
+                self._unlabeled_loader.sampler, "_batch_size"):
+            per += 2 * self._unlabeled_loader.sampler._batch_size
+        return per * self._num_batches
+
+    def _train_dispatch(self, batch_l, unl_iter, key, scalars):
+        batch_u = next(unl_iter)
+        return self._train_step(self._state, batch_l, batch_u, key, scalars)
+
+    def _consume_train_metrics(self, meters, metrics, groups, batch_l) -> None:
+        m = jax.device_get(metrics)
+        with meters.focus_on(self.train_meter_focus):
+            meters["sup_loss"].add(float(m["sup_loss"]))
+            if "reg_loss" in m:
+                meters["reg_loss"].add(float(m["reg_loss"]))
+            keep = np.asarray(batch_l["valid"]).astype(bool)
+            meters["sup_dice"].add(m["inter"][keep], m["union"][keep],
+                                   group_name=[g for g, k in zip(groups, keep) if k])
+        for name, hm in m.get("hooks", {}).items():
+            with meters.focus_on(name):
+                for k, v in hm.items():
+                    meters[k].add(float(v))
+
+    def _run_eval_epoch(self, loader: HostLoader) -> (Dict, float):
+        C = self._model.num_classes
+        meters = MeterInterface(default_focus="eval")
+        meters.register_meter("loss", AverageValueMeter())
+        dice = meters.register_meter("dice", UniversalDice(C, report_axises=list(range(1, C))))
+        sampler = loader.sampler
+        for i, batch in enumerate(loader):
+            out = jax.device_get(self._eval_step(
+                self._state.params["model"], self._state.batch_stats, batch))
+            meters["loss"].add(float(out["loss"]))
+            scan = sampler.scan_of_batch(i)
+            keep = np.asarray(batch["valid"]).astype(bool)
+            dice.add(out["inter"][keep], out["union"][keep], group_name=scan)
+        stats = meters.statistics("eval")
+        return stats, float(stats["dice"]["DSC_mean"])
+
+    # ----------------------------------------------------------------- main loop
+    def start_training(self) -> float:
+        if not self.__initialized__:
+            raise RuntimeError("call init() first")
+        start = self._cur_epoch + 1 if self._cur_epoch else 1
+        for self._cur_epoch in range(start, self._max_epoch + 1):
+            train_stats = self._run_train_epoch()
+            val_stats, cur_score = self._run_eval_epoch(self._val_loader)
+            test_stats, _ = (self._run_eval_epoch(self._test_loader)
+                             if self._test_loader is not None else ({}, 0.0))
+            if cur_score > self._best_score:
+                self._best_score = cur_score
+                self.save_to("best.ckpt")
+            self.save_to("last.ckpt")
+            self._storage.put_epoch(self._cur_epoch, {**train_stats,
+                                                      "val": val_stats, "test": test_stats})
+            self._storage.flush()
+            for h in self._hooks:
+                h.on_epoch_end()
+            logger.info("epoch %03d | val DSC %.4f (best %.4f)",
+                        self._cur_epoch, cur_score, self._best_score)
+        from .. import success
+        success(self._save_dir)
+        return self._best_score
+
+    # ----------------------------------------------------------------- io
+    def _host_meta(self) -> Dict:
+        return {"cur_epoch": self._cur_epoch, "best_score": float(self._best_score),
+                "keychain": self._keychain.state_dict(),
+                "storage": self._storage.state_dict(),
+                "hooks": {h.name: h.state_dict() for h in self._hooks}}
+
+    def save_to(self, save_name: str) -> None:
+        save_checkpoint(str(Path(self._save_dir) / save_name), self._state,
+                        self._host_meta())
+
+    def resume_from_path(self, path: str) -> None:
+        assert self.__initialized__, "init() before resume"
+        self._state, meta = load_checkpoint(path, self._state)
+        self._cur_epoch = int(meta.get("cur_epoch", 0))
+        self._best_score = float(meta.get("best_score", -np.inf))
+        if "keychain" in meta:
+            self._keychain.load_state_dict(meta["keychain"])
+        if "storage" in meta:
+            self._storage.load_state_dict(meta["storage"])
+        for h in self._hooks:
+            if h.name in meta.get("hooks", {}):
+                h.load_state_dict(meta["hooks"][h.name])
+        logger.info("resumed from %s at epoch %d", path, self._cur_epoch)
+
+    @property
+    def save_dir(self) -> str:
+        return self._save_dir
+
+    @property
+    def state(self) -> TrainState:
+        return self._state
+
+    @property
+    def best_score(self) -> float:
+        return float(self._best_score)
+
+
+class SemiTrainer(Trainer):
+    """reference new_trainer.py:17-56."""
+
+
+class FineTuneTrainer(Trainer):
+    """Labeled-only (reference new_trainer.py:59-76, activate_hooks=False)."""
+    activate_hooks = False
+
+    def _build_steps(self) -> None:
+        num_classes = self._model.num_classes
+        self._train_step = build_finetune_step(
+            self._model, self._optimizer, num_classes=num_classes,
+            policy=self.train_policy, grad_mask=self._grad_mask, hooks=[])
+        self._eval_step = build_eval_step(self._model, num_classes=num_classes,
+                                          crop=self._crop)
+
+    def _train_dispatch(self, batch_l, unl_iter, key, scalars):
+        return self._train_step(self._state, batch_l, key, scalars)
+
+    def _epoch_slices(self) -> int:
+        per = getattr(self._labeled_loader.sampler, "_batch_size", 0)
+        return per * self._num_batches
+
+
+class MixUpTrainer(FineTuneTrainer):
+    """Labeled-only + MixUp hook (reference new_trainer.py MixUpTrainer +
+    MixUpEpocher, new_comparable.py:18-86)."""
+    activate_hooks = True
+
+    def _build_steps(self) -> None:
+        num_classes = self._model.num_classes
+        self._train_step = build_finetune_step(
+            self._model, self._optimizer, num_classes=num_classes,
+            policy=self.train_policy, grad_mask=self._grad_mask, hooks=self._hooks)
+        self._eval_step = build_eval_step(self._model, num_classes=num_classes,
+                                          crop=self._crop)
+
+
+class AdversarialTrainer(Trainer):
+    """reference new_trainer.py AdversarialTrainer + AdversarialEpocher."""
+
+    def __init__(self, *, reg_weight: float = 0.01, dis_consider_image: bool = False,
+                 discr_lr: float = 1e-4, **kwargs):
+        super().__init__(**kwargs)
+        self._reg_weight = float(reg_weight)
+        self._dis_consider_image = bool(dis_consider_image)
+        self._discr_lr = float(discr_lr)
+
+    def _create_state(self, model_params, batch_stats, hook_params, needs_teacher):
+        import optax
+        self._discr = Discriminator(base_channels=64)
+        in_ch = self._model.num_classes + (1 if self._dis_consider_image else 0)
+        sample = jnp.zeros((2, self._crop, self._crop, in_ch), jnp.float32)
+        discr_params = self._discr.init(self._keychain.next(), sample)
+        self._discr_optimizer = optax.adam(self._discr_lr, b1=0.5, b2=0.999)
+        return create_train_state(model_params=model_params, batch_stats=batch_stats,
+                                  hook_params=hook_params, tx=self._optimizer,
+                                  teacher=needs_teacher, discr_params=discr_params,
+                                  discr_tx=self._discr_optimizer)
+
+    def _build_steps(self) -> None:
+        num_classes = self._model.num_classes
+        self._train_step = build_adversarial_step(
+            self._model, self._discr, self._optimizer, self._discr_optimizer,
+            num_classes=num_classes, policy=self.train_policy,
+            reg_weight=self._reg_weight, dis_consider_image=self._dis_consider_image)
+        self._eval_step = build_eval_step(self._model, num_classes=num_classes,
+                                          crop=self._crop)
+
+    def _configure_train_meters(self, meters: MeterInterface) -> None:
+        super()._configure_train_meters(meters)
+        with meters.focus_on("adv_reg"):
+            meters.register_meter("gen_loss", AverageValueMeter())
+            meters.register_meter("dis_loss", AverageValueMeter())
+
+    def _train_dispatch(self, batch_l, unl_iter, key, scalars):
+        batch_u = next(unl_iter)
+        return self._train_step(self._state, batch_l, batch_u, key)
+
+    def _consume_train_metrics(self, meters, metrics, groups, batch_l) -> None:
+        m = jax.device_get(metrics)
+        with meters.focus_on(self.train_meter_focus):
+            meters["sup_loss"].add(float(m["sup_loss"]))
+            keep = np.asarray(batch_l["valid"]).astype(bool)
+            meters["sup_dice"].add(m["inter"][keep], m["union"][keep],
+                                   group_name=[g for g, k in zip(groups, keep) if k])
+        with meters.focus_on("adv_reg"):
+            meters["gen_loss"].add(float(m["gen_loss"]))
+            meters["dis_loss"].add(float(m["dis_loss"]))
+
+
+class _PretrainTrainer(Trainer):
+    """Contrastive pretraining (reference new_pretrain.py:18-110): the data
+    stream is the contrastive loader; loss = hook regularizers only; no eval;
+    `last.ckpt` saved every epoch."""
+    total_freedom = True  # encoder pretrain; decoder pretrain overrides
+
+    def __init__(self, *, contrastive_loader: HostLoader, forward_until: Optional[str] = None,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self._contrastive_loader = contrastive_loader
+        self._forward_until = forward_until
+
+    def _build_steps(self) -> None:
+        self._train_step = build_pretrain_step(
+            self._model, self._hooks, self._optimizer, policy=self.train_policy,
+            total_freedom=self.total_freedom, until=self._forward_until,
+            grad_mask=self._grad_mask)
+        self._eval_step = build_eval_step(self._model, num_classes=self._model.num_classes,
+                                          crop=self._crop)
+
+    def _run_train_epoch(self) -> Dict:
+        meters = MeterInterface(default_focus=self.train_meter_focus)
+        with meters.focus_on(self.train_meter_focus):
+            meters.register_meter("lr", AverageValueMeter())
+            meters.register_meter("reg_loss", AverageValueMeter())
+            for h in self._hooks:
+                with meters.focus_on(h.name):
+                    for k in ("loss", "sp_weight", "age_param", "mi"):
+                        meters.register_meter(k, AverageValueMeter())
+        scalars = self._hook_scalars()
+        it = iter(self._contrastive_loader)
+        t0 = time.time()
+        n_slices = 0
+        for b in range(self._num_batches):
+            batch = next(it)
+            n_slices += 2 * batch["image"].shape[0]
+            key = self._keychain.next()
+            self._state, metrics = self._train_step(self._state, batch, key, scalars)
+            m = jax.device_get(metrics)
+            with meters.focus_on(self.train_meter_focus):
+                meters["reg_loss"].add(float(m["reg_loss"]))
+            for name, hm in m.get("hooks", {}).items():
+                with meters.focus_on(name):
+                    for k, v in hm.items():
+                        meters[k].add(float(v))
+        with meters.focus_on(self.train_meter_focus):
+            meters["lr"].add(float(self._lr_schedule(int(self._state.step) - 1)))
+        stats = meters.statistics()
+        stats.setdefault(self.train_meter_focus, {})["throughput"] = {
+            "slices_per_sec": n_slices / max(time.time() - t0, 1e-9)}
+        return stats
+
+    def start_training(self) -> float:
+        if not self.__initialized__:
+            raise RuntimeError("call init() first")
+        start = self._cur_epoch + 1 if self._cur_epoch else 1
+        for self._cur_epoch in range(start, self._max_epoch + 1):
+            train_stats = self._run_train_epoch()
+            self.save_to("last.ckpt")
+            self._storage.put_epoch(self._cur_epoch, train_stats)
+            self._storage.flush()
+            for h in self._hooks:
+                h.on_epoch_end()
+            logger.info("pretrain epoch %03d | reg_loss %.4f", self._cur_epoch,
+                        train_stats[self.train_meter_focus]["reg_loss"]["mean"])
+        from .. import success
+        success(self._save_dir)
+        return 0.0
+
+
+class PretrainEncoderTrainer(_PretrainTrainer):
+    total_freedom = True
+
+
+class PretrainDecoderTrainer(_PretrainTrainer):
+    """Decoder pretrain: the two views share geometry (reference asserts
+    total_freedom=False, new_pretrain.py:104-110) so dense positions align."""
+    total_freedom = False
+
+
+trainer_zoo = {
+    "semi": SemiTrainer,
+    "ft": FineTuneTrainer,
+    "finetune": FineTuneTrainer,
+    "mixup": MixUpTrainer,
+    "adv": AdversarialTrainer,
+    "pretrain": PretrainEncoderTrainer,
+    "pretrain_encoder": PretrainEncoderTrainer,
+    "pretrain_decoder": PretrainDecoderTrainer,
+}
