@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Headline benchmark: self-paced contrastive pretrain step throughput.
+
+Workload = the paper's pinned pretrain configuration (BASELINE.md):
+contrastive batch of 10 scans x 3 partitions = 30 slices -> 2N = 60 views,
+224x224x1, UNet max_channel=256, SP-InfoNCE on Conv5 with partition
+meta-labels, RAdam. One step = on-device two-view augmentation + forward +
+self-paced SupCon loss + backward + optimizer update, all in one XLA program.
+
+vs_baseline: ratio against the PyTorch reference-equivalent step measured on
+this machine's torch device (CPU — the reference is CUDA/torch and cannot run
+on the TPU; its one runnable form here is torch-CPU). The baseline number is
+measured once and cached in .bench_ref.json so round-over-round comparisons
+track OUR changes only.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent
+SCANS, PARTS, CROP, CANVAS, CH = 10, 3, 224, 256, 256
+BATCH = SCANS * PARTS  # 30 slices, 60 views
+WARMUP, TIMED = 3, 15
+
+
+def measure_ours() -> float:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from spcl_tpu.data import synthetic_dataset, create_contrastive_loader
+    from spcl_tpu.data.augment import ACDC_PRETRAIN
+    from spcl_tpu.hooks import SelfPacedINFONCEHook
+    from spcl_tpu.models import UNet
+    from spcl_tpu.training import build_optimizer, create_train_state
+    from spcl_tpu.training.steps import build_pretrain_step
+    from spcl_tpu.models.masking import stage_trainable_mask, stages_from_range
+
+    model = UNet(input_dim=1, num_classes=4, max_channel=CH)
+    hook = SelfPacedINFONCEHook(name="spinfonce/Conv5/partition", feature_name="Conv5",
+                                contrast_on="partition", begin_value=1e4, end_value=20,
+                                mode="soft", max_epoch=80)
+    optimizer = build_optimizer(name="RAdam", lr=5e-7, weight_decay=1e-5)
+
+    sample = jnp.zeros((2, CROP, CROP, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False, until="Conv5")
+    sample_acts = model.apply(variables, sample, train=False, until="Conv5")
+    hook_params = {hook.name: hook.build(jax.random.PRNGKey(1), model, sample_acts)}
+    state = create_train_state(model_params=variables["params"],
+                               batch_stats=variables.get("batch_stats", {}),
+                               hook_params=hook_params, tx=optimizer)
+    mask = stage_trainable_mask(variables["params"], stages_from_range(None, "Conv5"))
+    step = build_pretrain_step(model, [hook], optimizer, policy=ACDC_PRETRAIN,
+                               total_freedom=True, until="Conv5", grad_mask=mask)
+
+    ds = synthetic_dataset("acdc", num_scans=SCANS + 2, slices_per_scan=(10, 14),
+                           canvas=CANVAS, seed=0)
+    loader = create_contrastive_loader(ds, scan_sample_num=SCANS, seed=0)
+    it = iter(loader)
+    batches = [jax.device_put(next(it)) for _ in range(4)]
+    scalars = {hook.name: hook.epoch_scalars(0)}
+    key = jax.random.PRNGKey(3)
+
+    for i in range(WARMUP):
+        state, metrics = step(state, batches[i % len(batches)],
+                              jax.random.fold_in(key, i), scalars)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for i in range(TIMED):
+        state, metrics = step(state, batches[i % len(batches)],
+                              jax.random.fold_in(key, 100 + i), scalars)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(jax.device_get(metrics["reg_loss"])))
+    # a "slice" processed = one 2D slice through the pipeline (2 views each)
+    return BATCH * TIMED / dt
+
+
+def measure_torch_baseline() -> float:
+    """Reference-equivalent torch step (written fresh; same math shape):
+    UNet encoder-to-Conv5 fwd, projection head, SupCon-with-self-paced-weights
+    loss over 2N=60, backward, Adam-family update. CPU."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    def block(cin, cout):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, 3, padding=1, bias=False), nn.BatchNorm2d(cout), nn.ReLU(True),
+            nn.Conv2d(cout, cout, 3, padding=1, bias=False), nn.BatchNorm2d(cout), nn.ReLU(True))
+
+    chs = [CH // 16, CH // 8, CH // 4, CH // 2, CH]
+
+    class Encoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.blocks = nn.ModuleList([block(1 if i == 0 else chs[i - 1], chs[i])
+                                         for i in range(5)])
+
+        def forward(self, x):
+            for i, b in enumerate(self.blocks):
+                if i:
+                    x = F.max_pool2d(x, 2)
+                x = b(x)
+            return x
+
+    enc = Encoder()
+    proj = nn.Sequential(nn.Linear(CH, 256), nn.LeakyReLU(0.01, True), nn.Linear(256, 256))
+    opt = torch.optim.Adam(list(enc.parameters()) + list(proj.parameters()), lr=5e-7)
+
+    x = torch.randn(2 * BATCH, 1, CROP, CROP)
+    labels = torch.arange(BATCH).repeat(2) % PARTS
+
+    def one_step():
+        opt.zero_grad()
+        feats = enc(x)
+        z = F.normalize(proj(feats.mean(dim=(2, 3))), dim=1)
+        sim = z @ z.t() / 0.07
+        sim = sim - sim.max().detach()
+        pos = (labels[:, None] == labels[None, :]).float()
+        pos = pos - torch.eye(2 * BATCH)
+        neg = 1.0 - pos - torch.eye(2 * BATCH)
+        exp = sim.exp()
+        denom = (exp * (pos + neg)).sum(1, keepdim=True)
+        logp = sim - (denom + 1e-16).log()
+        with torch.no_grad():
+            w = torch.clamp(1 + logp / 20.0, min=0)
+            w = torch.max(w, 1 - pos)
+        loss = -((logp * w * pos).sum(1) / pos.sum(1)).mean()
+        loss.backward()
+        opt.step()
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    steps = 2
+    for _ in range(steps):
+        one_step()
+    dt = time.perf_counter() - t0
+    return BATCH * steps / dt
+
+
+def cached_baseline() -> float:
+    cache = REPO / ".bench_ref.json"
+    if cache.exists():
+        return json.loads(cache.read_text())["torch_cpu_slices_per_sec"]
+    val = measure_torch_baseline()
+    cache.write_text(json.dumps({"torch_cpu_slices_per_sec": val,
+                                 "note": "reference-equivalent torch step on CPU "
+                                         "(reference is CUDA-only; CPU is its only "
+                                         "runnable form in this environment)"}))
+    return val
+
+
+def main():
+    ours = measure_ours()
+    try:
+        base = cached_baseline()
+    except Exception:
+        base = float("nan")
+    vs = ours / base if base == base and base > 0 else None
+    print(json.dumps({"metric": "sp_infonce_pretrain_throughput",
+                      "value": round(ours, 2), "unit": "slices/sec",
+                      "vs_baseline": round(vs, 2) if vs else None}))
+
+
+if __name__ == "__main__":
+    main()
