@@ -80,7 +80,8 @@ def build_trainer(config: Dict, *, save_dir: Optional[str] = None,
         labeled_scan_num=int(data_cfg.get("labeled_scan_num", 1)),
         labeled_batch_size=int((config.get("LabeledLoader") or {}).get("batch_size", 5)),
         unlabeled_batch_size=int((config.get("UnlabeledLoader") or {}).get("batch_size", 5)),
-        pretrain=pretrain, seed=1)
+        pretrain=pretrain, seed=1,
+        load_predefined_list=not bool(data_cfg.get("synthetic", False)))
 
     max_epoch = int(trainer_cfg.get("max_epoch", 75))
     hooks = create_hook_from_config(config, max_epoch=max_epoch)

@@ -21,7 +21,8 @@ logger = get_logger("entry.val")
 def val(*, base_config: Dict, pretrained_checkpoint: str, save_dir: str,
         labeled_ratios: Optional[List[int]] = None) -> Dict[int, float]:
     data_name = base_config.get("Data", {}).get("name", "acdc")
-    ratios = labeled_ratios or ratio_zoo.get(data_name, [1])
+    ratios = (labeled_ratios or base_config.get("Data", {}).get("ratios")
+              or ratio_zoo.get(data_name, [1]))
     results: Dict[int, float] = {}
     for ratio in ratios:
         config = copy.deepcopy(base_config)

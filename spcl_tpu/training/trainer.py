@@ -92,7 +92,11 @@ class Trainer:
     # ----------------------------------------------------------------- init
     @property
     def train_policy(self) -> AugmentPolicy:
-        return POLICY_ZOO[self._data_name]["pretrain"]
+        import dataclasses
+        policy = POLICY_ZOO[self._data_name]["pretrain"]
+        if policy.crop != self._crop:
+            policy = dataclasses.replace(policy, crop=self._crop)
+        return policy
 
     def _sample_image_shape(self):
         canvas = self._labeled_loader.dataset.images.shape[1]
