@@ -22,6 +22,18 @@ from pathlib import Path
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: first compiles in this environment go
+# through a remote-compile relay (minutes for big programs); cache them.
+try:
+    import jax as _jax
+
+    _cache_dir = os.environ.get("SPCL_JAX_CACHE", os.path.expanduser("~/.cache/spcl_jax"))
+    Path(_cache_dir).mkdir(parents=True, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 PROJECT_PATH = str(Path(__file__).parents[1])
 DATA_PATH = os.environ.get("SPCL_DATA_PATH", str(Path(PROJECT_PATH) / ".data"))
 OUTPUT_PATH = os.environ.get("SPCL_OUTPUT_PATH", str(Path(PROJECT_PATH) / "runs"))

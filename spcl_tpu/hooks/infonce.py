@@ -26,14 +26,24 @@ from ..data.augment import apply_flip
 from ..losses.supcon import self_paced_supcon_loss, supcon_loss
 from ..models.heads import DenseProjectionHead, ProjectionHead
 from ..models.unet import ENCODER_NAMES
+from ..ops import fused_self_paced_supcon, fused_supcon
 from ..schedulers.gamma import PScheduler
+
+
+def _use_fused(flag) -> bool:
+    """auto -> Pallas kernel on TPU, naive jnp elsewhere."""
+    if flag == "auto":
+        return jax.default_backend() == "tpu"
+    return bool(flag)
 
 
 class INFONCEHook(TrainerHook):
     def __init__(self, *, name: str, feature_name: str, weight: float = 1.0,
                  contrast_on: str = "partition", spatial_size: Optional[Tuple[int, int]] = None,
-                 temperature: float = 0.07, num_sampled_points: int = 5):
+                 temperature: float = 0.07, num_sampled_points: int = 5,
+                 use_fused="auto"):
         super().__init__(name, weight)
+        self.use_fused = use_fused
         self.feature_name = feature_name
         self.contrast_on = contrast_on
         self.temperature = float(temperature)
@@ -64,8 +74,12 @@ class INFONCEHook(TrainerHook):
         return z[:n], z[n:]
 
     def _criterion(self, z1, z2, target, valid, scalars):
-        loss, aux = supcon_loss(z1, z2, target=target, valid=valid,
+        if _use_fused(self.use_fused):
+            loss = fused_supcon(z1, z2, target=target, valid=valid,
                                 temperature=self.temperature)
+        else:
+            loss, _ = supcon_loss(z1, z2, target=target, valid=valid,
+                                  temperature=self.temperature)
         return loss, {"loss": loss}
 
     def loss_fn(self, params, ctx, scalars):
@@ -101,10 +115,11 @@ class SelfPacedINFONCEHook(INFONCEHook):
     def __init__(self, *, name: str, feature_name: str, weight: float = 1.0,
                  contrast_on: str = "partition", spatial_size=None, temperature: float = 0.07,
                  mode: str = "soft", p: float = 0.5, begin_value: float = 1e6,
-                 end_value: float = 1e6, correct_grad: bool = False, max_epoch: int = 80):
+                 end_value: float = 1e6, correct_grad: bool = False, max_epoch: int = 80,
+                 use_fused="auto"):
         super().__init__(name=name, feature_name=feature_name, weight=weight,
                          contrast_on=contrast_on, spatial_size=spatial_size,
-                         temperature=temperature)
+                         temperature=temperature, use_fused=use_fused)
         assert mode in ("soft", "hard"), mode
         self.mode = mode
         self.correct_grad = bool(correct_grad)
@@ -120,11 +135,18 @@ class SelfPacedINFONCEHook(INFONCEHook):
 
     def _criterion(self, z1, z2, target, valid, scalars):
         gamma = scalars["gamma"]
-        loss, aux = self_paced_supcon_loss(
-            z1, z2, target=target, valid=valid, gamma=gamma,
-            temperature=self.temperature, weight_update=self.mode,
-            correct_grad=self.correct_grad)
-        return loss, {"loss": loss, "sp_weight": aux.downgrade_ratio, "age_param": gamma}
+        if _use_fused(self.use_fused):
+            loss, ratio = fused_self_paced_supcon(
+                z1, z2, target=target, valid=valid, gamma=gamma,
+                temperature=self.temperature, weight_update=self.mode,
+                correct_grad=self.correct_grad)
+        else:
+            loss, aux = self_paced_supcon_loss(
+                z1, z2, target=target, valid=valid, gamma=gamma,
+                temperature=self.temperature, weight_update=self.mode,
+                correct_grad=self.correct_grad)
+            ratio = aux.downgrade_ratio
+        return loss, {"loss": loss, "sp_weight": ratio, "age_param": gamma}
 
     def state_dict(self):
         return {"scheduler": self.scheduler.state_dict()}

@@ -1,0 +1,75 @@
+"""Multi-chip data parallelism on the virtual 8-device CPU mesh.
+
+The reference never had a working distributed path (SURVEY.md §2.11); these
+tests validate that the full train step compiles and executes under a `data`
+mesh, that gradients are correctly psum'ed (replicated-state consistency),
+and that the contrastive loss spans the global batch.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spcl_tpu.parallel import make_mesh, replicate, shard_batch
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, jax.devices()
+    return make_mesh(8)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_sharded_step_matches_single_device(mesh):
+    """Replicated-state GSPMD step must produce the same update as the
+    unsharded step on the identical global batch."""
+    from spcl_tpu.data import synthetic_dataset
+    from spcl_tpu.data.augment import AugmentPolicy
+    from spcl_tpu.models import UNet
+    from spcl_tpu.training import build_optimizer, create_train_state
+    from spcl_tpu.training.steps import build_finetune_step
+
+    model = UNet(input_dim=1, num_classes=4, max_channel=128)
+    optimizer = build_optimizer(name="RAdam", lr=1e-3, weight_decay=0.0)
+    sample = jnp.zeros((2, 32, 32, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    state = create_train_state(model_params=variables["params"],
+                               batch_stats=variables.get("batch_stats", {}),
+                               hook_params={}, tx=optimizer)
+    step = build_finetune_step(model, optimizer, num_classes=4,
+                               policy=AugmentPolicy(crop=32, rot_degrees=0.0,
+                                                    hflip=False, vflip=False, jitter=False))
+    ds = synthetic_dataset("acdc", num_scans=8, slices_per_scan=(4, 5), canvas=32, seed=0)
+    batch = ds.batch(np.arange(16))
+    key = jax.random.PRNGKey(1)
+
+    s1, m1 = step(state, jax.device_put(batch), key, {})
+    s8, m8 = step(replicate(state, mesh), shard_batch(batch, mesh), replicate(key, mesh),
+                  {})
+    np.testing.assert_allclose(float(m1["sup_loss"]), float(m8["sup_loss"]), rtol=1e-5)
+    k1 = np.asarray(s1.params["model"]["Conv1"]["conv0"]["kernel"])
+    k8 = np.asarray(s8.params["model"]["Conv1"]["conv0"]["kernel"])
+    np.testing.assert_allclose(k1, k8, rtol=1e-4, atol=1e-6)
+
+
+def test_contrastive_loss_spans_global_batch(mesh):
+    """The supcon loss of a sharded z must equal the unsharded loss — i.e.
+    GSPMD all-gathers the embeddings so the NxN matrix covers all chips."""
+    from spcl_tpu.losses import supcon_loss
+
+    rng = np.random.RandomState(0)
+    z1 = rng.randn(32, 16).astype(np.float32)
+    z1 /= np.linalg.norm(z1, axis=1, keepdims=True)
+    z2 = rng.randn(32, 16).astype(np.float32)
+    z2 /= np.linalg.norm(z2, axis=1, keepdims=True)
+    labels = rng.randint(0, 4, 32)
+
+    f = jax.jit(lambda a, b, t: supcon_loss(a, b, target=t)[0])
+    ref = f(jnp.asarray(z1), jnp.asarray(z2), jnp.asarray(labels))
+    sh = shard_batch({"z1": z1, "z2": z2, "t": labels}, mesh)
+    out = f(sh["z1"], sh["z2"], sh["t"])
+    np.testing.assert_allclose(float(ref), float(out), rtol=1e-5)
