@@ -67,9 +67,21 @@ def load_datasets_from_config(config: Dict) -> Tuple[SliceDataset, SliceDataset]
 def build_trainer(config: Dict, *, save_dir: Optional[str] = None,
                   pretrain: bool = False):
     """Construct a fully wired (but not yet init'ed) trainer from a config."""
+    from ..hooks.creator import LEGACY_TRAINER_PRESETS
+
     data_cfg = config.get("Data", {})
     trainer_cfg = config.get("Trainer", {})
     name = trainer_cfg.get("name") or ("pretrain" if pretrain else "semi")
+    if name == "infoncepretrain":
+        config = dictionary_merge_by_hierachy(
+            LEGACY_TRAINER_PRESETS["infonce"], config)
+        name = "pretrain"
+        pretrain = True
+    elif name in LEGACY_TRAINER_PRESETS:
+        # legacy trainer zoo (reference semi_seg/trainers/__init__.py:5-23):
+        # preset hook blocks under a SemiTrainer; explicit config blocks win
+        config = dictionary_merge_by_hierachy(LEGACY_TRAINER_PRESETS[name], config)
+        name = "semi"
     data_name = data_cfg.get("name", "acdc")
     crop = int(data_cfg.get("crop", 224))
     seed = int(config.get("RandomSeed", 10))

@@ -14,8 +14,11 @@ from .consistency import ConsistencyTrainerHook
 from .discretemi import DiscreteMITrainHook
 from .entmin import EntropyMinTrainerHook
 from .infonce import INFONCEHook, SelfPacedINFONCEHook
+from .midl import MIDLPaperTrainerHook
+from .mine import MineTrainHook
 from .mixup import MixUpHook
 from .mt import MeanTeacherTrainerHook
+from .ucmt import UCMeanTeacherTrainerHook
 from ..models.unet import DECODER_NAMES, sort_arch
 from ..utils.utils import ntuple
 
@@ -81,6 +84,31 @@ def create_mixup_hook(weight: float = 1.0, enable_bn: bool = True) -> MixUpHook:
     return MixUpHook(name="mix_reg", weight=weight, enable_bn=enable_bn)
 
 
+def create_mine_hooks(*, feature_names: Union[str, List[str]],
+                      weights: Union[float, List[float]] = 1.0) -> CombineTrainerHook:
+    n = 1 if isinstance(feature_names, str) else len(feature_names)
+    brd = ntuple(n)
+    hooks = [MineTrainHook(name=f"mine/{f}", feature_name=f, weight=w)
+             for f, w in zip(brd(feature_names), brd(weights))]
+    return CombineTrainerHook(*hooks)
+
+
+def create_uc_mt_hook(weight: float = 1.0, alpha: float = 0.999,
+                      threshold_begin: float = 0.75, threshold_end: float = 0.75,
+                      max_epoch: int = 100, **kwargs) -> UCMeanTeacherTrainerHook:
+    return UCMeanTeacherTrainerHook(name="ucmt", weight=weight, alpha=alpha,
+                                    threshold_begin=threshold_begin,
+                                    threshold_end=threshold_end, max_epoch=max_epoch,
+                                    **kwargs)
+
+
+def create_midl_hook(*, iic_weight: float = 1.0, consistency_weight: float = 1.0,
+                     padding: int = 7, patch_size: int = 32) -> CombineTrainerHook:
+    return CombineTrainerHook(
+        MIDLPaperTrainerHook(weight=iic_weight, padding=padding, patch_size=patch_size),
+        create_consistency_hook(consistency_weight))
+
+
 def create_discrete_mi_consistency_hook(*, feature_names: Union[str, List[str]],
                                         mi_weights: Union[float, List[float]],
                                         dense_paddings: Union[int, List[int], None] = None,
@@ -125,4 +153,40 @@ def create_hook_from_config(config: Dict, *, max_epoch: Optional[int] = None
         hooks.append(create_mixup_hook(**config["MixUpParams"]))
     if "DiscreteMIConsistencyParams" in config:
         hooks.append(create_discrete_mi_consistency_hook(**config["DiscreteMIConsistencyParams"]))
+    if "MineParams" in config:
+        hooks.append(create_mine_hooks(**config["MineParams"]))
+    if "UCMeanTeacherParams" in config:
+        params = dict(config["UCMeanTeacherParams"])
+        if max_epoch is not None:
+            params.setdefault("max_epoch", max_epoch)
+        hooks.append(create_uc_mt_hook(**params))
+    if "MIDLPaperParameters" in config:
+        hooks.append(create_midl_hook(**config["MIDLPaperParameters"]))
     return get_individual_hooks(*hooks)
+
+
+# Legacy trainer-name presets (reference semi_seg/trainers/__init__.py:5-23):
+# each legacy trainer is a SemiTrainer plus a fixed hook configuration.
+LEGACY_TRAINER_PRESETS = {
+    "uda": {"ConsistencyParams": {"weight": 1.0}},
+    "entropy": {"EntropyMinParams": {"weight": 0.1}},
+    "meanteacher": {"MeanTeacherParams": {"weight": 1.0}},
+    "ucmeanteacher": {"UCMeanTeacherParams": {"weight": 1.0}},
+    "iic": {"DiscreteMIConsistencyParams": {"feature_names": ["Conv5"],
+                                            "mi_weights": 0.1, "consistency_weight": 0.0}},
+    "udaiic": {"DiscreteMIConsistencyParams": {"feature_names": ["Conv5", "Up_conv3", "Up_conv2"],
+                                               "mi_weights": [0.1, 0.05, 0.05],
+                                               "dense_paddings": 0,
+                                               "consistency_weight": 1.0}},
+    "midl": {"MIDLPaperParameters": {"iic_weight": 0.1, "consistency_weight": 1.0}},
+    "mine": {"MineParams": {"feature_names": "Conv5", "weights": 0.1}},
+    "infonce": {"InfonceParams": {"feature_names": "Conv5", "weights": 1.0,
+                                  "contrast_ons": "partition"}},
+    "infoncemt": {"InfonceParams": {"feature_names": "Conv5", "weights": 1.0,
+                                    "contrast_ons": "partition"},
+                  "MeanTeacherParams": {"weight": 1.0}},
+    "iicmeanteacher": {"DiscreteMIConsistencyParams": {"feature_names": ["Conv5"],
+                                                       "mi_weights": 0.1,
+                                                       "consistency_weight": 0.0},
+                       "MeanTeacherParams": {"weight": 1.0}},
+}

@@ -71,3 +71,31 @@ def iid_segmentation_loss(x_out: jnp.ndarray, x_tf_out: jnp.ndarray,
     loss = -(p * (jnp.log(p + 1e-16) - lamb * jnp.log(p_i + 1e-16)
                   - lamb * jnp.log(p_j + 1e-16))).sum() / (t * t)
     return loss
+
+
+def _patch_slices(size: int, patch: int, step: int):
+    starts = list(range(0, max(size - patch, 0), step)) or [0]
+    last = max(size - patch, 0)
+    if starts[-1] != last:
+        starts.append(last)
+    return starts
+
+
+def iid_segmentation_small_patch_loss(x_out: jnp.ndarray, x_tf_out: jnp.ndarray,
+                                      padding: int = 7, patch_size: int = 32,
+                                      lamb: float = 1.0,
+                                      mask: jnp.ndarray = None) -> jnp.ndarray:
+    """Patchified dense IIC (reference IIDSegmentationSmallPathLoss,
+    iic_loss.py:103-128 + patch_generator :154-162): average the dense loss
+    over half-overlapping patches. Patch offsets are static, so the loop
+    unrolls at trace time."""
+    step = patch_size // 2
+    _, h, w, _ = x_out.shape
+    losses = []
+    for hs in _patch_slices(h, patch_size, step):
+        for ws in _patch_slices(w, patch_size, step):
+            sl = (slice(None), slice(hs, hs + patch_size), slice(ws, ws + patch_size))
+            m = None if mask is None else mask[sl]
+            losses.append(iid_segmentation_loss(x_out[sl], x_tf_out[sl],
+                                                padding=padding, lamb=lamb, mask=m))
+    return jnp.mean(jnp.stack(losses))

@@ -184,3 +184,93 @@ def self_paced_supcon_loss(z1: jnp.ndarray, z2: jnp.ndarray, *,
         sp_mask=sp_mask if return_matrices else None,
     )
     return loss, aux
+
+
+# --------------------------------------------------------------------------- soft-weighted family
+def supcon_loss_in_mode(z1: jnp.ndarray, z2: jnp.ndarray, *,
+                        target: Optional[jnp.ndarray] = None,
+                        pos_mask: Optional[jnp.ndarray] = None,
+                        temperature: float = 0.07) -> jnp.ndarray:
+    """SupConLoss2 "in" mode (reference contrast_loss.py:95-97):
+    loss_i = -log(pos_sum_i / (pos_sum_i + neg_sum_i)) / pos_count_i."""
+    n = z1.shape[0]
+    pos2, neg2 = _build_masks(n, pos_mask, target, None)
+    sim_logits = _sim_logits(z1, z2, temperature)
+    sim_exp = jnp.exp(sim_logits)
+    pos_sum = jnp.sum(sim_exp * pos2, axis=1)
+    neg_sum = jnp.sum(sim_exp * neg2, axis=1)
+    pos_count = jnp.maximum(jnp.sum(pos2, axis=1), 1.0)
+    return jnp.mean(-jnp.log(pos_sum / (pos_sum + neg_sum)) / pos_count)
+
+
+def soft_supcon_loss(z1: jnp.ndarray, z2: jnp.ndarray, *, pos_weight: jnp.ndarray,
+                     temperature: float = 0.07, out_mode: bool = True,
+                     enable_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Soft-weighted SupCon (reference SupConLoss3, contrast_loss.py:130-181):
+    per-pair FLOAT weights instead of a binary mask.
+
+    pos_weight: [N, N] weights (tiled 2x2 internally).
+    enable_mask: optional [2N, 2N] 0/1 mask restricting the denominator
+    (SupConLoss4's block assembly, contrast_loss.py:207-267).
+    """
+    n = z1.shape[0]
+    w2 = jnp.tile(pos_weight.astype(jnp.float32), (2, 2))
+    not_diag = 1.0 - jnp.eye(2 * n, dtype=jnp.float32)
+    sim_logits = _sim_logits(z1, z2, temperature)
+    sim_exp = jnp.exp(sim_logits)
+    denom_mask = not_diag if enable_mask is None else not_diag * enable_mask
+    denominator = jnp.sum(sim_exp * denom_mask, axis=1, keepdims=True)
+    exp_div = sim_exp / denominator
+    w2 = w2 * not_diag
+    w_sum = jnp.maximum(jnp.sum(w2, axis=1), _EPS)
+    if out_mode:
+        row = jnp.sum(jnp.log(exp_div + _EPS) * w2, axis=1) / w_sum
+    else:
+        row = jnp.log(jnp.sum(exp_div * w2, axis=1) + _EPS) / w_sum
+    return -jnp.mean(row)
+
+
+def assemble_block_weights(n: int, *, one2one: Optional[jnp.ndarray] = None,
+                           two2two: Optional[jnp.ndarray] = None,
+                           one2two: Optional[jnp.ndarray] = None):
+    """SupConLoss4 block assembly (contrast_loss.py:217-237): build the
+    [2N, 2N] pos_weight + enable_mask from per-block [N, N] weights."""
+    pos_weight = jnp.zeros((2 * n, 2 * n), jnp.float32)
+    enable = jnp.zeros((2 * n, 2 * n), jnp.float32)
+    if one2one is not None:
+        pos_weight = pos_weight.at[:n, :n].set(one2one)
+        enable = enable.at[:n, :n].set(1.0)
+    if two2two is not None:
+        pos_weight = pos_weight.at[n:, n:].set(two2two)
+        enable = enable.at[n:, n:].set(1.0)
+    if one2two is not None:
+        pos_weight = pos_weight.at[:n, n:].set(one2two)
+        pos_weight = pos_weight.at[n:, :n].set(one2two)
+        enable = enable.at[:n, n:].set(1.0)
+        enable = enable.at[n:, :n].set(1.0)
+    return pos_weight, enable
+
+
+def block_soft_supcon_loss(z1: jnp.ndarray, z2: jnp.ndarray, *,
+                           one2one_weight: Optional[jnp.ndarray] = None,
+                           two2two_weight: Optional[jnp.ndarray] = None,
+                           one2two_weight: Optional[jnp.ndarray] = None,
+                           temperature: float = 0.07, out_mode: bool = True) -> jnp.ndarray:
+    """SupConLoss4 parity: block-assembled soft weights with an enable mask
+    restricting the denominator to active blocks."""
+    n = z1.shape[0]
+    pos_weight, enable = assemble_block_weights(
+        n, one2one=one2one_weight, two2two=two2two_weight, one2two=one2two_weight)
+    # soft_supcon_loss tiles [N,N]; here we already have [2N,2N]: inline it
+    not_diag = 1.0 - jnp.eye(2 * n, dtype=jnp.float32)
+    sim_logits = _sim_logits(z1, z2, temperature)
+    sim_exp = jnp.exp(sim_logits)
+    denominator = jnp.sum(sim_exp * not_diag * enable, axis=1, keepdims=True)
+    exp_div = sim_exp / denominator
+    w2 = pos_weight * not_diag
+    w_sum = jnp.maximum(jnp.sum(w2, axis=1), _EPS)
+    if out_mode:
+        row = jnp.sum(jnp.log(exp_div + _EPS) * w2, axis=1) / w_sum
+    else:
+        row = jnp.log(jnp.sum(exp_div * w2, axis=1) + _EPS) / w_sum
+    return -jnp.mean(row)

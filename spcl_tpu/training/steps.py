@@ -206,9 +206,13 @@ def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
             "labeled_image": img_l, "labeled_onehot": onehot_l,
         }
         if needs_teacher:
-            t_acts, _ = _apply_model(model, teacher_params, batch_stats, img_u,
-                                     train=True, update_stats=False)
-            ctx["teacher_logits_tf"] = apply_flip(t_acts["logits"], fp)
+            def apply_teacher(images):
+                a, _ = _apply_model(model, jax.lax.stop_gradient(teacher_params),
+                                    batch_stats, images, train=True, update_stats=False)
+                return jax.lax.stop_gradient(a["logits"])
+
+            ctx["teacher_logits_tf"] = apply_flip(apply_teacher(img_u), fp)
+            ctx["apply_teacher"] = apply_teacher
         if needs_mixup:
             ctx["labeled_image_tf"] = img_l2
             ctx["labeled_onehot_tf"] = class2one_hot(lab_l2, num_classes)

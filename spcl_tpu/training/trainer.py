@@ -177,10 +177,6 @@ class Trainer:
         meters.register_meter("sup_loss", AverageValueMeter())
         meters.register_meter("reg_loss", AverageValueMeter())
         meters.register_meter("sup_dice", UniversalDice(C, report_axises=report))
-        for h in self._hooks:
-            with meters.focus_on(h.name):
-                for k in ("loss", "sp_weight", "age_param", "mi"):
-                    meters.register_meter(k, AverageValueMeter())
 
     def _labeled_groups(self, batch) -> List[str]:
         scans = self._labeled_loader.dataset.unique_scans
@@ -231,6 +227,8 @@ class Trainer:
         for name, hm in m.get("hooks", {}).items():
             with meters.focus_on(name):
                 for k, v in hm.items():
+                    if k not in meters:  # hook meters register on first use
+                        meters.register_meter(k, AverageValueMeter())
                     meters[k].add(float(v))
 
     def _run_eval_epoch(self, loader: HostLoader) -> (Dict, float):
@@ -428,10 +426,6 @@ class _PretrainTrainer(Trainer):
         with meters.focus_on(self.train_meter_focus):
             meters.register_meter("lr", AverageValueMeter())
             meters.register_meter("reg_loss", AverageValueMeter())
-            for h in self._hooks:
-                with meters.focus_on(h.name):
-                    for k in ("loss", "sp_weight", "age_param", "mi"):
-                        meters.register_meter(k, AverageValueMeter())
         scalars = self._hook_scalars()
         it = iter(self._contrastive_loader)
         t0 = time.time()
@@ -447,6 +441,8 @@ class _PretrainTrainer(Trainer):
             for name, hm in m.get("hooks", {}).items():
                 with meters.focus_on(name):
                     for k, v in hm.items():
+                        if k not in meters:
+                            meters.register_meter(k, AverageValueMeter())
                         meters[k].add(float(v))
         with meters.focus_on(self.train_meter_focus):
             meters["lr"].add(float(self._lr_schedule(int(self._state.step) - 1)))
