@@ -164,9 +164,11 @@ class SliceDataset:
         imgs = self.images[idx]
         if imgs.dtype == np.uint8:
             imgs = imgs.astype(np.float32) / 255.0
+        if imgs.ndim == 3:  # single-modality [B,H,W] -> add channel axis;
+            imgs = imgs[..., None]  # multi-modal packs store [N,H,W,C] directly
         pad_meta = raw < 0
         return {
-            "image": imgs[..., None],
+            "image": imgs,
             "label": self.labels[idx].astype(np.int32),
             "scan_idx": np.where(pad_meta, -1, self.scan_index[idx]).astype(np.int32),
             "patient": np.where(pad_meta, -1, self.patient_index[idx]).astype(np.int32),

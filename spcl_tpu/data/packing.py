@@ -43,24 +43,32 @@ def _fit_canvas(arr: np.ndarray, canvas: int, is_label: bool) -> np.ndarray:
 
 
 def pack_png_folder(root_dir: str, name: str, mode: str = "train",
-                    canvas: int = 256, save_path: Optional[str] = None) -> SliceDataset:
+                    canvas: int = 256, save_path: Optional[str] = None,
+                    image_folders=("img",)) -> SliceDataset:
     """Pack `<root>/<mode>/img/*.png` (+ `gt/`) into a SliceDataset.
 
     mode: "train" | "val" (reference folder layout, base.py:76-116).
+    image_folders: >1 folder packs a multi-modal dataset — one channel per
+    folder (reference mmWHS/multi-modal path, semi_seg/epochers/helper.py:33-36
+    concatenates modalities on the channel axis).
     """
     src = Path(root_dir) / mode
-    img_dir, gt_dir = src / "img", src / "gt"
-    if not img_dir.exists():
-        raise FileNotFoundError(
-            f"{img_dir} not found. This environment cannot auto-download the "
-            f"reference datasets (zero egress); place the unpacked "
-            f"{name} data under {root_dir} or use synthetic_dataset().")
-    stems = sorted(p.stem for p in img_dir.glob("*.png"))
-    images = np.stack([_fit_canvas(_load_png(img_dir / f"{s}.png"), canvas, False) for s in stems])
+    gt_dir = src / "gt"
+    img_dirs = [src / f for f in image_folders]
+    for d in img_dirs:
+        if not d.exists():
+            raise FileNotFoundError(
+                f"{d} not found. This environment cannot auto-download the "
+                f"reference datasets (zero egress); place the unpacked "
+                f"{name} data under {root_dir} or use synthetic_dataset().")
+    stems = sorted(p.stem for p in img_dirs[0].glob("*.png"))
+    mods = [np.stack([_fit_canvas(_load_png(d / f"{s}.png"), canvas, False) for s in stems])
+            for d in img_dirs]
+    images = mods[0] if len(mods) == 1 else np.stack(mods, axis=-1)
     if gt_dir.exists():
         labels = np.stack([_fit_canvas(_load_png(gt_dir / f"{s}.png"), canvas, True) for s in stems])
     else:
-        labels = np.zeros_like(images)
+        labels = np.zeros(images.shape[:3], images.dtype)
     ds = SliceDataset(name=name, images=images.astype(np.uint8),
                       labels=labels.astype(np.uint8), filenames=stems)
     if save_path:
@@ -82,8 +90,11 @@ def load_packed(path: str) -> SliceDataset:
 
 def synthetic_dataset(name: str = "acdc", num_scans: int = 10,
                       slices_per_scan: Tuple[int, int] = (8, 12), canvas: int = 256,
-                      seed: int = 0, mode: str = "train") -> SliceDataset:
-    """Random dataset with realistic scan/partition/filename structure."""
+                      seed: int = 0, mode: str = "train",
+                      channels: int = 1) -> SliceDataset:
+    """Random dataset with realistic scan/partition/filename structure.
+
+    channels > 1 emulates a multi-modal dataset (stacked noisy copies)."""
     spec = DATASET_SPECS[name]
     rng = np.random.default_rng(seed + (0 if mode == "train" else 1))
     num_classes = spec["num_classes"]
@@ -112,7 +123,12 @@ def synthetic_dataset(name: str = "acdc", num_scans: int = 10,
                 rc = max(int(r * (1 - 0.25 * c)), 2)
                 lab[((yy - cy) ** 2 + (xx - cx) ** 2) < rc ** 2] = c
             stems.append(f"{scan}_{i:02d}")
-            imgs.append((img * 255).astype(np.uint8))
+            if channels > 1:
+                chans = [img] + [np.clip(img + rng.normal(0, 0.05, img.shape), 0, 1)
+                                 for _ in range(channels - 1)]
+                imgs.append((np.stack(chans, axis=-1) * 255).astype(np.uint8))
+            else:
+                imgs.append((img * 255).astype(np.uint8))
             labs.append(lab)
     return SliceDataset(name=name, images=np.stack(imgs), labels=np.stack(labs),
                         filenames=stems)

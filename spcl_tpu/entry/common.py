@@ -36,13 +36,17 @@ def separate_pretrain_finetune_configs(config: Dict) -> Tuple[Dict, Dict]:
 
 
 def build_model_from_config(config: Dict) -> UNet:
+    import jax.numpy as jnp
     arch = config.get("Arch", {})
     data_name = (config.get("Data") or {}).get("name", "acdc")
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        str(arch.get("dtype", "float32"))]
     return UNet(
         input_dim=int(arch.get("input_dim", data2input_dim.get(data_name, 1))),
         num_classes=int(arch.get("num_classes", data2class_numbers.get(data_name, 4))),
         max_channel=int(arch.get("max_channel", 256)),
-        momentum=float(arch.get("momentum", 0.1)))
+        momentum=float(arch.get("momentum", 0.1)),
+        dtype=dtype)
 
 
 def load_datasets_from_config(config: Dict) -> Tuple[SliceDataset, SliceDataset]:

@@ -99,8 +99,10 @@ class Trainer:
         return policy
 
     def _sample_image_shape(self):
-        canvas = self._labeled_loader.dataset.images.shape[1]
-        return (2, canvas, canvas, 1)
+        imgs = self._labeled_loader.dataset.images
+        canvas = imgs.shape[1]
+        channels = imgs.shape[3] if imgs.ndim == 4 else 1
+        return (2, canvas, canvas, channels)
 
     def init(self) -> None:
         optim_cfg = dict(self._config.get("Optim", {}))
@@ -217,6 +219,10 @@ class Trainer:
 
     def _consume_train_metrics(self, meters, metrics, groups, batch_l) -> None:
         m = jax.device_get(metrics)
+        # reference raises immediately on NaN loss (contrast_loss3.py:108-109)
+        if not np.isfinite(m["sup_loss"]) or not np.isfinite(m.get("reg_loss", 0.0)):
+            raise RuntimeError(f"non-finite loss at step {int(self._state.step)}: "
+                               f"sup={m['sup_loss']} reg={m.get('reg_loss')}")
         with meters.focus_on(self.train_meter_focus):
             meters["sup_loss"].add(float(m["sup_loss"]))
             if "reg_loss" in m:
@@ -252,8 +258,14 @@ class Trainer:
         if not self.__initialized__:
             raise RuntimeError("call init() first")
         start = self._cur_epoch + 1 if self._cur_epoch else 1
+        profile_dir = (self._config.get("Trainer") or {}).get("profile_dir")
         for self._cur_epoch in range(start, self._max_epoch + 1):
-            train_stats = self._run_train_epoch()
+            if profile_dir and self._cur_epoch == start + 1:
+                # trace the second epoch (first is compile-heavy)
+                with jax.profiler.trace(str(profile_dir)):
+                    train_stats = self._run_train_epoch()
+            else:
+                train_stats = self._run_train_epoch()
             val_stats, cur_score = self._run_eval_epoch(self._val_loader)
             test_stats, _ = (self._run_eval_epoch(self._test_loader)
                              if self._test_loader is not None else ({}, 0.0))
