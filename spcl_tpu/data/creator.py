@@ -18,7 +18,8 @@ import numpy as np
 
 from .dataset import SliceDataset, extract_sub_dataset_based_on_scan_names
 from .loader import HostLoader
-from .samplers import ContrastBatchSampler, InfiniteRandomSampler, ScanBatchSampler
+from .samplers import (ContrastBatchSampler, InfiniteRandomSampler, ScanBatchSampler,
+                       SequentialBatchSampler)
 from ..constants import labeled_filenames, DATASET_SPECS
 from ..utils.utils import fix_all_seed_within_context, get_logger
 
@@ -63,7 +64,8 @@ def get_data(*, tra_set: SliceDataset, test_set: SliceDataset,
              labeled_scan_num: int, labeled_batch_size: int = 5,
              unlabeled_batch_size: int = 5, pretrain: bool = False,
              load_predefined_list: bool = True, seed: int = 1,
-             pad_eval_to: Optional[int] = None
+             pad_eval_to: Optional[int] = None,
+             group_test: Optional[bool] = None
              ) -> Tuple[HostLoader, HostLoader, HostLoader, HostLoader]:
     """Returns (labeled_loader, unlabeled_loader, val_loader, test_loader).
 
@@ -100,13 +102,19 @@ def get_data(*, tra_set: SliceDataset, test_set: SliceDataset,
     ratio = 0.45 if test_set.name in ("mmwhsct", "mmwhsmr") else 0.35
     val_set, final_test_set = split_dataset(test_set, ratio, seed=seed)[:2]
 
-    def scan_loader(ds: SliceDataset) -> HostLoader:
+    # reference creator.py:125-127: no per-scan grouping for these datasets
+    if group_test is None:
+        group_test = test_set.name not in ("spleen", "mmwhsct", "mmwhsmr", "prostate_md")
+
+    def eval_loader(ds: SliceDataset) -> HostLoader:
+        if not group_test:
+            return HostLoader(ds, SequentialBatchSampler(ds, batch_size=4))
         pad = pad_eval_to
         if pad is None:
             pad = max(len(v) for v in ds.scan_to_indices().values())
         return HostLoader(ds, ScanBatchSampler(ds, shuffle=False, pad_to=pad))
 
-    return labeled_loader, unlabeled_loader, scan_loader(val_set), scan_loader(final_test_set)
+    return labeled_loader, unlabeled_loader, eval_loader(val_set), eval_loader(final_test_set)
 
 
 def create_contrastive_loader(tra_set: SliceDataset, *, scan_sample_num: int = 10,

@@ -96,6 +96,28 @@ class ScanBatchSampler:
         return scans[i]
 
 
+class SequentialBatchSampler:
+    """Fixed-size sequential batches with -1 padding on the tail (the
+    reference's non-grouped eval path, creator.py:125-127 batch_size=4)."""
+
+    def __init__(self, dataset: SliceDataset, batch_size: int = 4):
+        self._n = len(dataset)
+        self._batch_size = batch_size
+
+    def __len__(self) -> int:
+        return (self._n + self._batch_size - 1) // self._batch_size
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        for start in range(0, self._n, self._batch_size):
+            idx = np.arange(start, min(start + self._batch_size, self._n))
+            if len(idx) < self._batch_size:
+                idx = np.concatenate([idx, np.full(self._batch_size - len(idx), -1)])
+            yield idx
+
+    def scan_of_batch(self, i: int):
+        return None  # per-slice dice (no scan grouping)
+
+
 class ContrastBatchSampler:
     """The paper's batch construction (reference rearr.py:37-98): sample
     `scan_sample_num` scans, then `partition_sample_num` slices per partition

@@ -33,7 +33,10 @@ def create_train_state(*, model_params, batch_stats, hook_params: Dict[str, Any]
                        discr_params=None, discr_tx=None) -> TrainState:
     params = {"model": model_params, "hooks": hook_params}
     opt_state = tx.init(params)
-    teacher_params = jax.tree_util.tree_map(lambda x: x, model_params) if teacher else None
+    # the teacher must NOT alias the student buffers: train steps donate the
+    # whole state, and aliased buffers would be donated twice
+    teacher_params = (jax.tree_util.tree_map(jnp.copy, model_params)
+                      if teacher else None)
     discr_opt_state = discr_tx.init(discr_params) if (discr_params is not None and discr_tx is not None) else None
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=batch_stats, opt_state=opt_state,

@@ -126,7 +126,7 @@ def build_finetune_step(model, optimizer, *, num_classes: int, policy: AugmentPo
         total = sup + reg_total
         return total, (new_stats, logits, lab, sup, hook_metrics)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, key, hook_scalars):
         (_, (new_stats, logits, lab, sup, hook_metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch, key, hook_scalars)
@@ -230,7 +230,7 @@ def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
                "logits_l": logits_l, "lab_l": lab_l, "hook_metrics": hook_metrics}
         return total, aux
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch_l, batch_u, key, hook_scalars):
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, state.teacher_params,
@@ -289,7 +289,7 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
             hook_metrics[h.name] = m
         return total, (new_stats, hook_metrics)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, key, hook_scalars):
         (loss, (new_stats, hook_metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch, key, hook_scalars)
@@ -345,7 +345,7 @@ def build_adversarial_step(model, discr, optimizer, discr_optimizer, *,
                 + jnp.mean(optax.sigmoid_binary_cross_entropy(out_u, jnp.zeros_like(out_u))))
         return loss
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch_l, batch_u, key):
         (_, aux), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
             state.params, state.batch_stats, state.discr_params, batch_l, batch_u, key)

@@ -72,6 +72,8 @@ class Trainer:
         self._hooks: List[TrainerHook] = []
         self._keychain = KeyChain(seed)
         self._storage = Storage(save_dir=self._save_dir)
+        from ..writer import SummaryWriter
+        self._writer = SummaryWriter(log_dir=self._save_dir)
         self._cur_epoch = 0
         self._best_score = -np.inf
         self._trainable_stages: Optional[List[str]] = None
@@ -276,10 +278,13 @@ class Trainer:
             self._storage.put_epoch(self._cur_epoch, {**train_stats,
                                                       "val": val_stats, "test": test_stats})
             self._storage.flush()
+            self._writer.add_scalars_from_meter_interface(
+                self._cur_epoch, **train_stats, val=val_stats, test=test_stats)
             for h in self._hooks:
                 h.on_epoch_end()
             logger.info("epoch %03d | val DSC %.4f (best %.4f)",
                         self._cur_epoch, cur_score, self._best_score)
+        self._writer.flush()
         from .. import success
         success(self._save_dir)
         return self._best_score

@@ -36,10 +36,13 @@ def test_sharded_step_matches_single_device(mesh):
     model = UNet(input_dim=1, num_classes=4, max_channel=128)
     optimizer = build_optimizer(name="RAdam", lr=1e-3, weight_decay=0.0)
     sample = jnp.zeros((2, 32, 32, 1), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
-    state = create_train_state(model_params=variables["params"],
-                               batch_stats=variables.get("batch_stats", {}),
-                               hook_params={}, tx=optimizer)
+
+    def mk_state():  # independent buffers: train steps donate their state arg
+        variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+        return create_train_state(model_params=variables["params"],
+                                  batch_stats=variables.get("batch_stats", {}),
+                                  hook_params={}, tx=optimizer)
+
     step = build_finetune_step(model, optimizer, num_classes=4,
                                policy=AugmentPolicy(crop=32, rot_degrees=0.0,
                                                     hflip=False, vflip=False, jitter=False))
@@ -47,9 +50,9 @@ def test_sharded_step_matches_single_device(mesh):
     batch = ds.batch(np.arange(16))
     key = jax.random.PRNGKey(1)
 
-    s1, m1 = step(state, jax.device_put(batch), key, {})
-    s8, m8 = step(replicate(state, mesh), shard_batch(batch, mesh), replicate(key, mesh),
-                  {})
+    s1, m1 = step(mk_state(), jax.device_put(batch), key, {})
+    s8, m8 = step(replicate(mk_state(), mesh), shard_batch(batch, mesh),
+                  replicate(key, mesh), {})
     np.testing.assert_allclose(float(m1["sup_loss"]), float(m8["sup_loss"]), rtol=1e-5)
     k1 = np.asarray(s1.params["model"]["Conv1"]["conv0"]["kernel"])
     k8 = np.asarray(s8.params["model"]["Conv1"]["conv0"]["kernel"])
