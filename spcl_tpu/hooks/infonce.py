@@ -30,10 +30,15 @@ from ..ops import fused_self_paced_supcon, fused_supcon
 from ..schedulers.gamma import PScheduler
 
 
-def _use_fused(flag) -> bool:
-    """auto -> Pallas kernel on TPU, naive jnp elsewhere."""
+_FUSED_MIN_ROWS = 1024  # measured crossover on v5e: pallas wins from 2N ~ 1k
+
+
+def _use_fused(flag, n_views: int) -> bool:
+    """auto -> Pallas kernel on TPU for large global batches (where its
+    no-HBM-intermediates design wins; at the reference's tiny 2N=60 the
+    naive XLA path is faster), naive jnp elsewhere."""
     if flag == "auto":
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu" and n_views >= _FUSED_MIN_ROWS
     return bool(flag)
 
 
@@ -74,7 +79,7 @@ class INFONCEHook(TrainerHook):
         return z[:n], z[n:]
 
     def _criterion(self, z1, z2, target, valid, scalars):
-        if _use_fused(self.use_fused):
+        if _use_fused(self.use_fused, 2 * z1.shape[0]):
             loss = fused_supcon(z1, z2, target=target, valid=valid,
                                 temperature=self.temperature)
         else:
@@ -135,7 +140,7 @@ class SelfPacedINFONCEHook(INFONCEHook):
 
     def _criterion(self, z1, z2, target, valid, scalars):
         gamma = scalars["gamma"]
-        if _use_fused(self.use_fused):
+        if _use_fused(self.use_fused, 2 * z1.shape[0]):
             loss, ratio = fused_self_paced_supcon(
                 z1, z2, target=target, valid=valid, gamma=gamma,
                 temperature=self.temperature, weight_update=self.mode,

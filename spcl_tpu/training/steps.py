@@ -289,8 +289,7 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
             hook_metrics[h.name] = m
         return total, (new_stats, hook_metrics)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, batch, key, hook_scalars):
+    def raw_step(state: TrainState, batch, key, hook_scalars):
         (loss, (new_stats, hook_metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch, key, hook_scalars)
         new_params, new_opt = _optimizer_update(optimizer, grads, state, grad_mask)
@@ -298,6 +297,8 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
                                   batch_stats=new_stats, opt_state=new_opt)
         return new_state, {"reg_loss": loss, "hooks": hook_metrics}
 
+    step = partial(jax.jit, donate_argnums=(0,))(raw_step)
+    step.raw = raw_step  # for lax.scan'ed multi-step drivers (bench, big runs)
     return step
 
 
