@@ -12,7 +12,7 @@ semi_seg/trainers/_helper.py:30-74 (the contrastive loader):
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

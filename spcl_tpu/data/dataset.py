@@ -17,8 +17,8 @@ Cardiac cycle (ACDC): scan "patientXXX_00" -> 0 (ED), else 1 (ES)
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field, replace
-from typing import Dict, List, Optional, Sequence
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -10,11 +10,9 @@ from __future__ import annotations
 
 import threading
 from queue import Queue
-from typing import Dict, Iterator, Optional
+from typing import Iterator
 
 import jax
-import numpy as np
-
 from .dataset import SliceDataset
 
 

@@ -21,7 +21,6 @@ from flax import linen as nn
 
 from .base import TrainerHook
 from ..data.augment import apply_flip
-from ..models.unet import ENCODER_NAMES
 
 
 class _MineStatNet(nn.Module):

@@ -17,7 +17,7 @@ matmuls so it rides the MXU instead of scatter/gather.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

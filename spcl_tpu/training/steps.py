@@ -14,7 +14,7 @@ under a `data`-axis mesh (gradient psum + contrastive all_gather).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,6 @@ from ..data.augment import (AugmentPolicy, apply_flip, augment_once, augment_twi
                             center_crop, flip_params)
 from ..hooks.base import TrainerHook
 from ..losses.functional import class2one_hot
-from ..losses.kl import kl_div
 from ..meters.dice import dice_stats_from_labels
 from ..models.masking import zero_grads_by_mask
 

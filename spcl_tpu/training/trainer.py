@@ -35,8 +35,8 @@ from ..data.loader import HostLoader
 from ..hooks.base import TrainerHook, get_individual_hooks
 from ..meters import AverageValueMeter, MeterInterface, Storage, UniversalDice
 from ..models.discriminator import Discriminator
-from ..models.masking import stage_trainable_mask, stages_from_range
-from ..models.unet import UNet, stages_up_to
+from ..models.masking import stage_trainable_mask
+from ..models.unet import UNet
 from ..schedulers.lr import warmup_cosine_epoch_schedule
 from ..utils.rng import KeyChain
 from ..utils.utils import get_logger, yaml_write

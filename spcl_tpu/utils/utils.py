@@ -17,7 +17,7 @@ import sys
 from contextlib import contextmanager
 from itertools import repeat
 from pathlib import Path
-from typing import Any, Dict, Iterable, Mapping, Union
+from typing import Any, Dict, Mapping, Union
 
 import numpy as np
 import yaml

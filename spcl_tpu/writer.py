@@ -8,7 +8,7 @@ add_image on raw arrays (no matplotlib dependency on the hot path).
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
