@@ -47,7 +47,10 @@ def measure_ours() -> float:
 
     sample = jnp.zeros((2, CROP, CROP, 1), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), sample, train=False, until="Conv5")
-    sample_acts = model.apply(variables, sample, train=False, until="Conv5")
+    acts_shapes = jax.eval_shape(
+        lambda v, x: model.apply(v, x, train=False, until="Conv5"), variables, sample)
+    sample_acts = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), acts_shapes)
     hook_params = {hook.name: hook.build(jax.random.PRNGKey(1), model, sample_acts)}
     state = create_train_state(model_params=variables["params"],
                                batch_stats=variables.get("batch_stats", {}),

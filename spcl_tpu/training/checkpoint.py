@@ -59,12 +59,35 @@ def load_checkpoint(path: str, state_template):
     return state, blob.get("host_meta", {})
 
 
+def _merge_partial(template: Dict, saved: Dict) -> Dict:
+    """Overlay saved leaves onto the template, keeping template entries with
+    no counterpart (e.g. a decoder that an encoder-only pretrain never
+    created — reference warm starts behave the same way: the finetune decoder
+    starts from fresh init)."""
+    out = {}
+    for k, tv in template.items():
+        if k in saved:
+            if isinstance(tv, dict) and isinstance(saved[k], dict):
+                out[k] = _merge_partial(tv, saved[k])
+            else:
+                out[k] = serialization.from_state_dict(tv, saved[k])
+        else:
+            out[k] = tv
+    return out
+
+
 def load_model_params(path: str, params_template):
     """Model-only warm start (reference utils.py:100-103 extract_model_state_dict):
-    pull just params['model'] (+ batch_stats) out of a full checkpoint."""
+    pull just params['model'] (+ batch_stats) out of a full checkpoint.
+    Tolerates partial trees in either direction (encoder-only pretrain ->
+    full-model finetune, and vice versa)."""
     with open(path, "rb") as f:
         blob = pickle.load(f)
     full = serialization.msgpack_restore(blob["state_bytes"])
-    model_params = serialization.from_state_dict(params_template["params"], full["params"]["model"])
-    batch_stats = serialization.from_state_dict(params_template["batch_stats"], full["batch_stats"])
+    model_params = _merge_partial(
+        serialization.to_state_dict(params_template["params"]), full["params"]["model"])
+    model_params = serialization.from_state_dict(params_template["params"], model_params)
+    batch_stats = _merge_partial(
+        serialization.to_state_dict(params_template["batch_stats"]), full["batch_stats"])
+    batch_stats = serialization.from_state_dict(params_template["batch_stats"], batch_stats)
     return model_params, batch_stats

@@ -125,7 +125,15 @@ class Trainer:
         key = self._keychain.next()
         k_model, k_hooks = jax.random.split(key)
         sample = jnp.zeros(self._sample_image_shape(), jnp.float32)
-        variables = self._model.init(k_model, sample[:, :self._crop, :self._crop], train=False)
+        # pretrain trainers stop the traced program at `forward_until`, so
+        # only those stages' params exist: the optimizer never touches (or
+        # allocates moments for) stages the phase cannot train
+        init_until = getattr(self, "_init_until", None)
+        sample_in = sample[:, :self._crop, :self._crop]
+        # NOTE: init must run on the accelerator — device_put of CPU-committed
+        # params poisons the step compile with host layouts (measured 900x
+        # step slowdown on the v5e tunnel).
+        variables = self._model.init(k_model, sample_in, train=False, until=init_until)
         model_params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 
@@ -135,9 +143,13 @@ class Trainer:
                 ckpt, {"params": model_params, "batch_stats": batch_stats})
             logger.info("warm-started model weights from %s", ckpt)
 
-        sample_acts = self._model.apply(
-            {"params": model_params, "batch_stats": batch_stats},
-            sample[:, :self._crop, :self._crop], train=False)
+        # hooks only need activation SHAPES to build their projectors —
+        # eval_shape avoids compiling a throwaway forward program
+        acts_shapes = jax.eval_shape(
+            lambda v, x: self._model.apply(v, x, train=False, until=init_until),
+            {"params": model_params, "batch_stats": batch_stats}, sample_in)
+        sample_acts = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), acts_shapes)
         hook_params = {}
         for i, h in enumerate(self._hooks):
             p = h.build(jax.random.fold_in(k_hooks, i), self._model, sample_acts)
@@ -429,6 +441,7 @@ class _PretrainTrainer(Trainer):
         super().__init__(**kwargs)
         self._contrastive_loader = contrastive_loader
         self._forward_until = forward_until
+        self._init_until = forward_until  # param tree stops here (see Trainer.init)
 
     def _build_steps(self) -> None:
         self._train_step = build_pretrain_step(

@@ -156,19 +156,28 @@ def test_pretrain_encoder_self_paced(loaders, tmp_path):
     tr.register_hooks(hook)
     tr.set_trainable_stages(trainable)
     tr.init()
-    decoder_kernel_before = np.asarray(
-        tr.state.params["model"]["Up_conv2"]["conv0"]["kernel"]).copy()
+    # encoder pretrain stops the param tree at Conv5: no decoder params exist,
+    # so the optimizer never allocates moments for them
+    assert "Up_conv2" not in tr.state.params["model"]
     encoder_kernel_before = np.asarray(
         tr.state.params["model"]["Conv5"]["conv0"]["kernel"]).copy()
     tr.start_training()
-    # frozen decoder unchanged, trained encoder changed
-    np.testing.assert_array_equal(
-        decoder_kernel_before, np.asarray(tr.state.params["model"]["Up_conv2"]["conv0"]["kernel"]))
     assert not np.allclose(
         encoder_kernel_before, np.asarray(tr.state.params["model"]["Conv5"]["conv0"]["kernel"]))
     assert (tmp_path / "last.ckpt").exists()
     # gamma schedule stepped
     assert hook.scheduler.epoch == 2
+
+    # partial-tree warm start: a full-model finetune loads the encoder weights
+    from spcl_tpu.training.checkpoint import load_model_params
+    import jax, jax.numpy as jnp
+    full = model.init(jax.random.PRNGKey(9), jnp.zeros((1, CROP, CROP, 1)), train=False)
+    params, stats = load_model_params(str(tmp_path / "last.ckpt"),
+                                      {"params": full["params"],
+                                       "batch_stats": full.get("batch_stats", {})})
+    np.testing.assert_allclose(np.asarray(params["Conv5"]["conv0"]["kernel"]),
+                               np.asarray(tr.state.params["model"]["Conv5"]["conv0"]["kernel"]))
+    assert "Up_conv2" in params  # decoder keeps its fresh init
 
 
 def test_hook_creation_from_config():
