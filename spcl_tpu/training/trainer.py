@@ -206,17 +206,25 @@ class Trainer:
         lab_iter = iter(self._labeled_loader)
         unl_iter = iter(self._unlabeled_loader) if self._unlabeled_loader is not None else None
         t0 = time.time()
+        # metrics stay as device futures during the epoch (no per-step host
+        # sync — a host round trip would serialize the async dispatch queue);
+        # one bulk device_get drains them at epoch end
+        pending = []
         for b in range(self._num_batches):
             batch_l = next(lab_iter)
             groups = self._labeled_groups(batch_l)
             key = self._keychain.next()
             self._state, metrics = self._train_dispatch(batch_l, unl_iter, key, scalars)
-            self._consume_train_metrics(meters, metrics, groups, batch_l)
+            pending.append((metrics, groups, batch_l["valid"]))
+        jax.block_until_ready(self._state)
+        elapsed = time.time() - t0
+        for metrics, groups, valid in pending:
+            self._consume_train_metrics(meters, metrics, groups, {"valid": valid})
         with meters.focus_on(self.train_meter_focus):
             meters["lr"].add(float(self._lr_schedule(int(self._state.step) - 1)))
         stats = meters.statistics()
         stats.setdefault(self.train_meter_focus, {})["throughput"] = {
-            "slices_per_sec": self._epoch_slices() / max(time.time() - t0, 1e-9)}
+            "slices_per_sec": self._epoch_slices() / max(elapsed, 1e-9)}
         return stats
 
     def _epoch_slices(self) -> int:
@@ -460,12 +468,16 @@ class _PretrainTrainer(Trainer):
         it = iter(self._contrastive_loader)
         t0 = time.time()
         n_slices = 0
+        pending = []  # drain once at epoch end (no per-step host sync)
         for b in range(self._num_batches):
             batch = next(it)
             n_slices += 2 * batch["image"].shape[0]
             key = self._keychain.next()
             self._state, metrics = self._train_step(self._state, batch, key, scalars)
-            m = jax.device_get(metrics)
+            pending.append(metrics)
+        jax.block_until_ready(self._state)
+        elapsed = time.time() - t0
+        for m in jax.device_get(pending):
             with meters.focus_on(self.train_meter_focus):
                 meters["reg_loss"].add(float(m["reg_loss"]))
             for name, hm in m.get("hooks", {}).items():
@@ -478,7 +490,7 @@ class _PretrainTrainer(Trainer):
             meters["lr"].add(float(self._lr_schedule(int(self._state.step) - 1)))
         stats = meters.statistics()
         stats.setdefault(self.train_meter_focus, {})["throughput"] = {
-            "slices_per_sec": n_slices / max(time.time() - t0, 1e-9)}
+            "slices_per_sec": n_slices / max(elapsed, 1e-9)}
         return stats
 
     def start_training(self) -> float:
