@@ -43,6 +43,21 @@ from ..utils.utils import get_logger, yaml_write
 
 logger = get_logger("trainer")
 
+# In-process step cache. Each build_* call creates a fresh closure, which jax
+# traces/compiles anew even for an identical program — and the compile relay
+# in this environment takes minutes per program with no working persistent
+# cache. Trainers with identical step-defining configuration (the finetune
+# sweep: same model/optimizer/policy, different data) share one compiled step.
+_STEP_CACHE: Dict = {}
+
+
+def _freeze(obj):
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
+
 
 class Trainer:
     """Base supervised/semi-supervised trainer."""
@@ -172,15 +187,42 @@ class Trainer:
                                   hook_params=hook_params, tx=self._optimizer,
                                   teacher=needs_teacher)
 
+    @staticmethod
+    def _hook_cache_key(h: TrainerHook):
+        items = tuple(sorted(
+            (k, v) for k, v in vars(h).items()
+            if isinstance(v, (str, int, float, bool, tuple, type(None)))))
+        return (type(h).__name__, items)
+
+    def _step_cache_key(self, flavor: str):
+        hooks = self._hooks if self.activate_hooks else []
+        return (
+            flavor, self._model,
+            _freeze(self._config.get("Optim", {})),
+            _freeze(self._config.get("Scheduler", {})),
+            self._max_epoch, self._num_batches, self.train_policy, self._crop,
+            self._two_stage, self._disable_bn,
+            tuple(self._trainable_stages) if self._trainable_stages else None,
+            tuple(self._hook_cache_key(h) for h in hooks),
+        )
+
+    def _cached_step(self, flavor: str, builder):
+        key = self._step_cache_key(flavor)
+        if key not in _STEP_CACHE:
+            _STEP_CACHE[key] = builder()
+        else:
+            logger.debug("reusing compiled %s step", flavor)
+        return _STEP_CACHE[key]
+
     def _build_steps(self) -> None:
         num_classes = self._model.num_classes
         hooks = self._hooks if self.activate_hooks else []
-        self._train_step = build_semi_step(
+        self._train_step = self._cached_step("semi", lambda: build_semi_step(
             self._model, hooks, self._optimizer, num_classes=num_classes,
             policy=self.train_policy, grad_mask=self._grad_mask,
-            two_stage=self._two_stage, disable_bn=self._disable_bn)
-        self._eval_step = build_eval_step(self._model, num_classes=num_classes,
-                                          crop=self._crop)
+            two_stage=self._two_stage, disable_bn=self._disable_bn))
+        self._eval_step = self._cached_step("eval", lambda: build_eval_step(
+            self._model, num_classes=num_classes, crop=self._crop))
 
     # ----------------------------------------------------------------- epochs
     def _hook_scalars(self) -> Dict[str, Dict[str, float]]:
@@ -357,11 +399,11 @@ class FineTuneTrainer(Trainer):
 
     def _build_steps(self) -> None:
         num_classes = self._model.num_classes
-        self._train_step = build_finetune_step(
+        self._train_step = self._cached_step("ft", lambda: build_finetune_step(
             self._model, self._optimizer, num_classes=num_classes,
-            policy=self.train_policy, grad_mask=self._grad_mask, hooks=[])
-        self._eval_step = build_eval_step(self._model, num_classes=num_classes,
-                                          crop=self._crop)
+            policy=self.train_policy, grad_mask=self._grad_mask, hooks=[]))
+        self._eval_step = self._cached_step("eval", lambda: build_eval_step(
+            self._model, num_classes=num_classes, crop=self._crop))
 
     def _train_dispatch(self, batch_l, unl_iter, key, scalars):
         return self._train_step(self._state, batch_l, key, scalars)
@@ -378,11 +420,11 @@ class MixUpTrainer(FineTuneTrainer):
 
     def _build_steps(self) -> None:
         num_classes = self._model.num_classes
-        self._train_step = build_finetune_step(
+        self._train_step = self._cached_step("ft_hooks", lambda: build_finetune_step(
             self._model, self._optimizer, num_classes=num_classes,
-            policy=self.train_policy, grad_mask=self._grad_mask, hooks=self._hooks)
-        self._eval_step = build_eval_step(self._model, num_classes=num_classes,
-                                          crop=self._crop)
+            policy=self.train_policy, grad_mask=self._grad_mask, hooks=self._hooks))
+        self._eval_step = self._cached_step("eval", lambda: build_eval_step(
+            self._model, num_classes=num_classes, crop=self._crop))
 
 
 class AdversarialTrainer(Trainer):
