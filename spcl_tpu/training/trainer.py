@@ -245,8 +245,15 @@ class Trainer:
         with meters.focus_on(self.train_meter_focus):
             self._configure_train_meters(meters)
         scalars = self._hook_scalars()
-        lab_iter = iter(self._labeled_loader)
-        unl_iter = iter(self._unlabeled_loader) if self._unlabeled_loader is not None else None
+        # overlap host batch gather + H2D transfer with device compute — the
+        # device tunnel's per-transfer latency dwarfs the step compute
+        from itertools import islice
+        from ..data.loader import device_prefetch
+        lab_iter = device_prefetch(
+            islice(iter(self._labeled_loader), self._num_batches), depth=3)
+        unl_iter = (device_prefetch(
+            islice(iter(self._unlabeled_loader), self._num_batches), depth=3)
+            if self._unlabeled_loader is not None else None)
         t0 = time.time()
         # metrics stay as device futures during the epoch (no per-step host
         # sync — a host round trip would serialize the async dispatch queue);
@@ -254,14 +261,15 @@ class Trainer:
         pending = []
         for b in range(self._num_batches):
             batch_l = next(lab_iter)
-            groups = self._labeled_groups(batch_l)
             key = self._keychain.next()
             self._state, metrics = self._train_dispatch(batch_l, unl_iter, key, scalars)
-            pending.append((metrics, groups, batch_l["valid"]))
+            pending.append((metrics, batch_l["scan_idx"], batch_l["valid"]))
         jax.block_until_ready(self._state)
         elapsed = time.time() - t0
-        for metrics, groups, valid in pending:
-            self._consume_train_metrics(meters, metrics, groups, {"valid": valid})
+        for metrics, scan_idx, valid in pending:
+            groups = self._labeled_groups({"scan_idx": jax.device_get(scan_idx)})
+            self._consume_train_metrics(meters, metrics, groups,
+                                        {"valid": jax.device_get(valid)})
         with meters.focus_on(self.train_meter_focus):
             meters["lr"].add(float(self._lr_schedule(int(self._state.step) - 1)))
         stats = meters.statistics()
@@ -307,12 +315,16 @@ class Trainer:
         meters.register_meter("loss", AverageValueMeter())
         dice = meters.register_meter("dice", UniversalDice(C, report_axises=list(range(1, C))))
         sampler = loader.sampler
-        for i, batch in enumerate(loader):
-            out = jax.device_get(self._eval_step(
-                self._state.params["model"], self._state.batch_stats, batch))
+        from ..data.loader import device_prefetch
+        pending = []
+        for i, batch in enumerate(device_prefetch(iter(loader), depth=3)):
+            out = self._eval_step(
+                self._state.params["model"], self._state.batch_stats, batch)
+            pending.append((out, batch["valid"], sampler.scan_of_batch(i)))
+        for out, valid, scan in pending:  # one drain after all dispatches
+            out, valid = jax.device_get((out, valid))
             meters["loss"].add(float(out["loss"]))
-            scan = sampler.scan_of_batch(i)
-            keep = np.asarray(batch["valid"]).astype(bool)
+            keep = np.asarray(valid).astype(bool)
             dice.add(out["inter"][keep], out["union"][keep], group_name=scan)
         stats = meters.statistics("eval")
         return stats, float(stats["dice"]["DSC_mean"])
@@ -507,7 +519,10 @@ class _PretrainTrainer(Trainer):
             meters.register_meter("lr", AverageValueMeter())
             meters.register_meter("reg_loss", AverageValueMeter())
         scalars = self._hook_scalars()
-        it = iter(self._contrastive_loader)
+        from itertools import islice
+        from ..data.loader import device_prefetch
+        it = device_prefetch(
+            islice(iter(self._contrastive_loader), self._num_batches), depth=3)
         t0 = time.time()
         n_slices = 0
         pending = []  # drain once at epoch end (no per-step host sync)

@@ -26,21 +26,30 @@ class KeyChain:
     """Deterministic, checkpointable stream of PRNG keys.
 
     Keys are derived as fold_in(base, counter) so restoring `counter`
-    resumes the exact stream.
+    resumes the exact stream. Keys are computed on the HOST (CPU backend)
+    and returned as numpy — a per-step device dispatch for a 2-word key
+    costs a full round trip through the device tunnel.
     """
 
     def __init__(self, seed: int, counter: int = 0):
         self._seed = int(seed)
-        self._base = jax.random.PRNGKey(self._seed)
+        self._cpu = jax.devices("cpu")[0]
+        with jax.default_device(self._cpu):
+            self._base = jax.random.PRNGKey(self._seed)
         self._counter = int(counter)
 
-    def next(self) -> jax.Array:
-        key = jax.random.fold_in(self._base, np.uint32(self._counter % (2 ** 31)))
+    def _fold(self, counter: int) -> np.ndarray:
+        with jax.default_device(self._cpu):
+            key = jax.random.fold_in(self._base, np.uint32(counter % (2 ** 31)))
+        return np.asarray(key)
+
+    def next(self) -> np.ndarray:
+        key = self._fold(self._counter)
         self._counter += 1
         return key
 
-    def peek(self) -> jax.Array:
-        return jax.random.fold_in(self._base, np.uint32(self._counter % (2 ** 31)))
+    def peek(self) -> np.ndarray:
+        return self._fold(self._counter)
 
     @property
     def counter(self) -> int:
