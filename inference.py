@@ -41,7 +41,9 @@ def run_inference(config, save_dir: str, dump_png: bool = False):
     sampler = loader.sampler
     pred_dir = Path(save_dir) / "pred"
     for i, batch in enumerate(loader):
-        img, lab = center_crop(jnp.asarray(batch["image"]), jnp.asarray(batch["label"]),
+        from spcl_tpu.training.steps import _as_float_image, _as_int_label
+        img, lab = center_crop(_as_float_image(jnp.asarray(batch["image"])),
+                               _as_int_label(jnp.asarray(batch["label"])),
                                trainer._crop)
         acts = model.apply({"params": trainer.state.params["model"],
                             "batch_stats": trainer.state.batch_stats}, img, train=False)

@@ -162,14 +162,14 @@ class SliceDataset:
         valid = (raw >= 0).astype(np.float32)
         idx = np.where(raw >= 0, raw, 0)
         imgs = self.images[idx]
-        if imgs.dtype == np.uint8:
-            imgs = imgs.astype(np.float32) / 255.0
+        # images/labels ship in their packed uint8 form — 4x less H2D traffic;
+        # the jitted step casts and scales on device (steps._as_float_image)
         if imgs.ndim == 3:  # single-modality [B,H,W] -> add channel axis;
             imgs = imgs[..., None]  # multi-modal packs store [N,H,W,C] directly
         pad_meta = raw < 0
         return {
             "image": imgs,
-            "label": self.labels[idx].astype(np.int32),
+            "label": self.labels[idx],
             "scan_idx": np.where(pad_meta, -1, self.scan_index[idx]).astype(np.int32),
             "patient": np.where(pad_meta, -1, self.patient_index[idx]).astype(np.int32),
             "partition": np.where(pad_meta, -1, self.partitions[idx]).astype(np.int32),

@@ -29,6 +29,18 @@ from ..meters.dice import dice_stats_from_labels
 from ..models.masking import zero_grads_by_mask
 
 
+def _as_float_image(img):
+    """Batches ship images as packed uint8 (4x less H2D traffic over the
+    device link); scale to [0, 1] float on device. Float inputs pass through."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / 255.0
+    return img.astype(jnp.float32)
+
+
+def _as_int_label(lab):
+    return lab.astype(jnp.int32)
+
+
 def _masked_ce(logits, onehot, valid):
     """Pixel-mean CE over valid slices (kl_div(softmax, onehot) parity)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -70,7 +82,8 @@ def build_eval_step(model, *, num_classes: int, crop: int) -> Callable:
 
     @jax.jit
     def eval_step(params, batch_stats, batch):
-        img, lab = center_crop(batch["image"], batch["label"], crop)
+        img, lab = center_crop(_as_float_image(batch["image"]),
+                               _as_int_label(batch["label"]), crop)
         acts, _ = _apply_model(model, params, batch_stats, img, train=False)
         logits = acts["logits"]
         onehot = class2one_hot(lab, num_classes)
@@ -94,11 +107,13 @@ def build_finetune_step(model, optimizer, *, num_classes: int, policy: AugmentPo
 
     def loss_fn(params, batch_stats, batch, key, hook_scalars):
         k_aug, k_hooks = jax.random.split(key)
+        image = _as_float_image(batch["image"])
+        label = _as_int_label(batch["label"])
         if hooks:
             (img, lab), (img2, lab2) = augment_twice(
-                k_aug, batch["image"], batch["label"], policy, total_freedom=True)
+                k_aug, image, label, policy, total_freedom=True)
         else:
-            img, lab = augment_once(k_aug, batch["image"], batch["label"], policy)
+            img, lab = augment_once(k_aug, image, label, policy)
         acts, new_stats = _apply_model(model, params["model"], batch_stats, img, train=True)
         logits = acts["logits"]
         onehot = class2one_hot(lab, num_classes)
@@ -155,14 +170,16 @@ def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
 
     def loss_fn(params, batch_stats, teacher_params, batch_l, batch_u, key, hook_scalars):
         k_lab, k_unl, k_flip, k_hooks = jax.random.split(key, 4)
+        image_l = _as_float_image(batch_l["image"])
+        label_l = _as_int_label(batch_l["label"])
         if needs_mixup:
             # mixup consumes both labeled views (reference new_comparable.py:18-86)
             (img_l, lab_l), (img_l2, lab_l2) = augment_twice(
-                k_lab, batch_l["image"], batch_l["label"], policy, total_freedom=True)
+                k_lab, image_l, label_l, policy, total_freedom=True)
         else:
-            img_l, lab_l = augment_once(k_lab, batch_l["image"], batch_l["label"], policy)
+            img_l, lab_l = augment_once(k_lab, image_l, label_l, policy)
         (img_u, _), (img_u_cf, _) = augment_twice(
-            k_unl, batch_u["image"], None, policy, total_freedom=False)
+            k_unl, _as_float_image(batch_u["image"]), None, policy, total_freedom=False)
         n_l, n_u = img_l.shape[0], img_u.shape[0]
         fp = flip_params(k_flip, n_u, threshold=flip_threshold)
         img_u_tf = apply_flip(img_u_cf, fp)
@@ -264,8 +281,8 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
 
     def loss_fn(params, batch_stats, batch, key, hook_scalars):
         k_aug, k_flip, k_hooks = jax.random.split(key, 3)
-        (v1, _), (v2, _) = augment_twice(k_aug, batch["image"], None, policy,
-                                         total_freedom=total_freedom)
+        (v1, _), (v2, _) = augment_twice(k_aug, _as_float_image(batch["image"]),
+                                         None, policy, total_freedom=total_freedom)
         n = v1.shape[0]
         fp = flip_params(k_flip, n, threshold=flip_threshold)
         v2 = apply_flip(v2, fp)
@@ -311,8 +328,9 @@ def build_adversarial_step(model, discr, optimizer, discr_optimizer, *,
 
     def gen_loss_fn(params, batch_stats, discr_params, batch_l, batch_u, key):
         k_l, k_u = jax.random.split(key)
-        img_l, lab_l = augment_once(k_l, batch_l["image"], batch_l["label"], policy)
-        img_u, _ = augment_once(k_u, batch_u["image"], None, policy)
+        img_l, lab_l = augment_once(k_l, _as_float_image(batch_l["image"]),
+                                    _as_int_label(batch_l["label"]), policy)
+        img_u, _ = augment_once(k_u, _as_float_image(batch_u["image"]), None, policy)
         acts_l, stats1 = _apply_model(model, params["model"], batch_stats, img_l, train=True)
         logits_l = acts_l["logits"]
         onehot_l = class2one_hot(lab_l, num_classes)

@@ -53,8 +53,8 @@ def test_batch_with_padding(acdc):
     assert batch["image"].shape == (3, 64, 64, 1)
     assert batch["valid"].tolist() == [1.0, 1.0, 0.0]
     assert batch["partition"][2] == -1
-    assert batch["image"].dtype == np.float32
-    assert batch["image"].max() <= 1.0
+    # images ship as packed uint8 (device casts); see steps._as_float_image
+    assert batch["image"].dtype == np.uint8
 
 
 def test_infinite_sampler_reshuffles(acdc):
@@ -134,15 +134,16 @@ def test_contrastive_loader(acdc):
 # --------------------------------------------------------------------- augmentation
 def test_augment_once_shapes_and_determinism(acdc):
     batch = acdc.batch(np.arange(6))
+    img_f = jnp.asarray(batch["image"], jnp.float32) / 255.0
+    lab_i = jnp.asarray(batch["label"], jnp.int32)
     key = jax.random.PRNGKey(0)
     pol = AugmentPolicy(crop=48, rot_degrees=45.0)
-    img1, lab1 = augment_once(key, jnp.asarray(batch["image"]), jnp.asarray(batch["label"]), pol)
-    img2, lab2 = augment_once(key, jnp.asarray(batch["image"]), jnp.asarray(batch["label"]), pol)
+    img1, lab1 = augment_once(key, img_f, lab_i, pol)
+    img2, lab2 = augment_once(key, img_f, lab_i, pol)
     assert img1.shape == (6, 48, 48, 1)
     assert lab1.shape == (6, 48, 48)
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))  # same key -> same aug
-    img3, _ = augment_once(jax.random.PRNGKey(1), jnp.asarray(batch["image"]),
-                           jnp.asarray(batch["label"]), pol)
+    img3, _ = augment_once(jax.random.PRNGKey(1), img_f, lab_i, pol)
     assert not np.allclose(np.asarray(img1), np.asarray(img3))
 
 
@@ -163,8 +164,8 @@ def test_augment_label_image_geometry_synchronized(acdc):
 
 def test_augment_twice_total_freedom(acdc):
     batch = acdc.batch(np.arange(4))
-    img = jnp.asarray(batch["image"])
-    lab = jnp.asarray(batch["label"])
+    img = jnp.asarray(batch["image"], jnp.float32) / 255.0
+    lab = jnp.asarray(batch["label"], jnp.int32)
     pol = AugmentPolicy(crop=48, jitter=False)
     key = jax.random.PRNGKey(3)
     (i1, l1), (i2, l2) = augment_twice(key, img, lab, pol, total_freedom=False)
@@ -176,11 +177,11 @@ def test_augment_twice_total_freedom(acdc):
 
 def test_center_crop_identity_region(acdc):
     batch = acdc.batch(np.arange(2))
-    img = jnp.asarray(batch["image"])
+    img = jnp.asarray(batch["image"], jnp.float32) / 255.0
     out, _ = center_crop(img, None, 48)
     start = (64 - 48) // 2
     np.testing.assert_allclose(np.asarray(out[:, :, :, 0]),
-                               batch["image"][:, start:start + 48, start:start + 48, 0],
+                               batch["image"][:, start:start + 48, start:start + 48, 0] / 255.0,
                                atol=1e-5)
 
 

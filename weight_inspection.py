@@ -38,7 +38,9 @@ def inspect(config, save_dir: str, gammas=(1.0, 3.0, 10.0, 100.0)):
     batch = next(iter(trainer._contrastive_loader))
     policy = trainer.train_policy
     key = jax.random.PRNGKey(0)
-    (v1, _), (v2, _) = augment_twice(key, jnp.asarray(batch["image"]), None, policy, True)
+    from spcl_tpu.training.steps import _as_float_image
+    (v1, _), (v2, _) = augment_twice(key, _as_float_image(jnp.asarray(batch["image"])),
+                                     None, policy, True)
     model = trainer._model
     variables = {"params": trainer.state.params["model"],
                  "batch_stats": trainer.state.batch_stats}
