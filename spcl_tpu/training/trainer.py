@@ -345,10 +345,21 @@ class Trainer:
             val_stats, cur_score = self._run_eval_epoch(self._val_loader)
             test_stats, _ = (self._run_eval_epoch(self._test_loader)
                              if self._test_loader is not None else ({}, 0.0))
-            if cur_score > self._best_score:
+            # one device->host fetch per epoch, shared by best + last writes
+            # (the full state is ~100MB+ through the device link)
+            is_best = cur_score > self._best_score
+            if is_best:
                 self._best_score = cur_score
-                self.save_to("best.ckpt")
-            self.save_to("last.ckpt")
+            save_every = int((self._config.get("Trainer") or {}).get("save_every", 1))
+            save_last = (self._cur_epoch % max(save_every, 1) == 0
+                         or self._cur_epoch == self._max_epoch)
+            if is_best or save_last:
+                host_state = jax.device_get(self._state)
+                meta = self._host_meta()
+                if is_best:
+                    save_checkpoint(str(Path(self._save_dir) / "best.ckpt"), host_state, meta)
+                if save_last:
+                    save_checkpoint(str(Path(self._save_dir) / "last.ckpt"), host_state, meta)
             self._storage.put_epoch(self._cur_epoch, {**train_stats,
                                                       "val": val_stats, "test": test_stats})
             self._storage.flush()
