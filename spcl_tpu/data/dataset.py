@@ -68,6 +68,8 @@ class SliceDataset:
     scan_index: np.ndarray = field(default=None)   # [N] int32 index into unique_scans
     unique_scans: List[str] = field(default=None)
     patient_index: np.ndarray = field(default=None)  # [N] int32; ACDC: patientXXX (cycle stripped)
+    global_indices: np.ndarray = field(default=None)  # [N] rows in the ROOT dataset
+    root: "SliceDataset" = field(default=None, repr=False)  # dataset this was subset from
 
     def __post_init__(self):
         spec = DATASET_SPECS[self.name]
@@ -104,6 +106,10 @@ class SliceDataset:
                 patients = list(self.scan_names)
             p2i = {p: i for i, p in enumerate(sorted(set(patients)))}
             self.patient_index = np.asarray([p2i[p] for p in patients], np.int32)
+        if self.global_indices is None:
+            self.global_indices = np.arange(n, dtype=np.int64)
+        if self.root is None:
+            self.root = self
 
     # -- reference-api parity helpers -------------------------------------------------
     def __len__(self) -> int:
@@ -148,7 +154,15 @@ class SliceDataset:
             scan_names=[self.scan_names[i] for i in idx],
             partitions=self.partitions[idx],
             cycles=self.cycles[idx],
+            global_indices=self.global_indices[idx],
+            root=self.root,
         )
+
+    def to_global(self, local_indices: np.ndarray) -> np.ndarray:
+        """Map (possibly -1-padded) local indices to rows of the root dataset."""
+        local = np.asarray(local_indices, np.int64)
+        safe = np.where(local >= 0, local, 0)
+        return np.where(local >= 0, self.global_indices[safe], -1)
 
     def batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
         """Gather a host batch dict ready for device_put.

@@ -1,0 +1,70 @@
+"""Device-resident dataset store.
+
+The reference streams every batch from host workers
+(contrastyou/data/loader.py); over this environment's device link that
+makes training transfer-bound (~10MB/s effective). All of the reference's
+datasets are small (ACDC train ≈ 125MB packed uint8), so the TPU-native
+answer is to keep the ENTIRE packed dataset in HBM: upload once, and each
+step gathers its batch by index inside the jitted program. The only
+per-step host->device traffic is the index vector (a few hundred bytes).
+
+`DeviceStore` is built on a ROOT dataset; labeled/unlabeled/contrastive
+subsets all sample indices into the same store (SliceDataset.global_indices),
+so one store serves every loader and the compiled step is shared across a
+finetune ratio sweep.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dataset import SliceDataset
+
+_STORE_CACHE: Dict[int, "DeviceStore"] = {}
+
+
+class DeviceStore:
+    def __init__(self, root: SliceDataset):
+        assert root.root is root, "build the store on the ROOT dataset"
+        imgs = root.images if root.images.ndim == 4 else root.images[..., None]
+        self.n = imgs.shape[0]
+        self.images = jax.device_put(imgs)              # uint8 [N,H,W,C]
+        self.labels = jax.device_put(root.labels)       # uint8 [N,H,W]
+        self.scan_idx = jax.device_put(root.scan_index.astype(np.int32))
+        self.patient = jax.device_put(root.patient_index.astype(np.int32))
+        self.partition = jax.device_put(root.partitions.astype(np.int32))
+        self.cycle = jax.device_put(root.cycles.astype(np.int32))
+
+    @classmethod
+    def for_dataset(cls, ds: SliceDataset) -> "DeviceStore":
+        """One store per root dataset per process."""
+        key = id(ds.root)
+        if key not in _STORE_CACHE:
+            _STORE_CACHE[key] = cls(ds.root)
+        return _STORE_CACHE[key]
+
+    def nbytes(self) -> int:
+        return int(self.images.nbytes + self.labels.nbytes)
+
+    def gather(self, idx: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Traced: [B] int32 global indices (-1 = padding) -> batch dict.
+
+        Matches SliceDataset.batch's contract: uint8 image/label (the step
+        casts on device), -1 meta labels and valid=0 on padding.
+        """
+        idx = idx.astype(jnp.int32)
+        valid = (idx >= 0).astype(jnp.float32)
+        safe = jnp.maximum(idx, 0)
+        pad = idx < 0
+        return {
+            "image": self.images[safe],
+            "label": self.labels[safe],
+            "scan_idx": jnp.where(pad, -1, self.scan_idx[safe]),
+            "patient": jnp.where(pad, -1, self.patient[safe]),
+            "partition": jnp.where(pad, -1, self.partition[safe]),
+            "cycle": jnp.where(pad, -1, self.cycle[safe]),
+            "valid": valid,
+        }

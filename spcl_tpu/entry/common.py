@@ -49,22 +49,34 @@ def build_model_from_config(config: Dict) -> UNet:
         dtype=dtype)
 
 
+_DATASET_CACHE: Dict = {}
+
+
 def load_datasets_from_config(config: Dict) -> Tuple[SliceDataset, SliceDataset]:
+    """Load (train, test) datasets — cached per Data config so sequential
+    runs in one process (the finetune ratio sweep) share the same ROOT
+    datasets, and therefore the same DeviceStore and compiled steps."""
     data = config.get("Data", {})
     name = data.get("name", "acdc")
     canvas = int(data.get("canvas", 256))
+    cache_key = (name, canvas, bool(data.get("synthetic")),
+                 int(data.get("synthetic_scans", 20)),
+                 int(data.get("synthetic_test_scans", 8)), data.get("root"))
+    if cache_key in _DATASET_CACHE:
+        return _DATASET_CACHE[cache_key]
     if data.get("synthetic"):
         tra = synthetic_dataset(name, num_scans=int(data.get("synthetic_scans", 20)),
                                 canvas=canvas, seed=0)
         test = synthetic_dataset(name, num_scans=int(data.get("synthetic_test_scans", 8)),
                                  canvas=canvas, seed=1, mode="val")
-        return tra, test
-    root = data.get("root")
-    if not root:
-        raise RuntimeError("Data.root not set (packed .npz directory); "
-                           "or set Data.synthetic=true")
-    tra = load_packed(str(Path(root) / f"{name}_train.npz"))
-    test = load_packed(str(Path(root) / f"{name}_val.npz"))
+    else:
+        root = data.get("root")
+        if not root:
+            raise RuntimeError("Data.root not set (packed .npz directory); "
+                               "or set Data.synthetic=true")
+        tra = load_packed(str(Path(root) / f"{name}_train.npz"))
+        test = load_packed(str(Path(root) / f"{name}_val.npz"))
+    _DATASET_CACHE[cache_key] = (tra, test)
     return tra, test
 
 

@@ -23,10 +23,20 @@ import optax
 from .state import TrainState
 from ..data.augment import (AugmentPolicy, apply_flip, augment_once, augment_twice,
                             center_crop, flip_params)
+from ..data.device_store import DeviceStore
 from ..hooks.base import TrainerHook
 from ..losses.functional import class2one_hot
 from ..meters.dice import dice_stats_from_labels
 from ..models.masking import zero_grads_by_mask
+
+
+def _resolve_batch(store, batch_or_idx):
+    """Steps accept either a host batch dict or, with a DeviceStore, a [B]
+    int32 global-index vector — the batch is gathered in HBM (the only
+    per-step H2D traffic is the index vector)."""
+    if store is None:
+        return batch_or_idx
+    return store.gather(batch_or_idx)
 
 
 def _as_float_image(img):
@@ -76,12 +86,14 @@ def _ema_after_step(state: TrainState, new_params, alpha_max: float):
 
 
 # =============================================================================== eval
-def build_eval_step(model, *, num_classes: int, crop: int) -> Callable:
+def build_eval_step(model, *, num_classes: int, crop: int,
+                    store: Optional[DeviceStore] = None) -> Callable:
     """Per-scan eval step (reference EvalEpocher, new_epocher.py:56-97):
     center crop -> forward -> masked CE + per-slice dice stats."""
 
     @jax.jit
     def eval_step(params, batch_stats, batch):
+        batch = _resolve_batch(store, batch)
         img, lab = center_crop(_as_float_image(batch["image"]),
                                _as_int_label(batch["label"]), crop)
         acts, _ = _apply_model(model, params, batch_stats, img, train=False)
@@ -97,7 +109,8 @@ def build_eval_step(model, *, num_classes: int, crop: int) -> Callable:
 
 # =============================================================================== finetune
 def build_finetune_step(model, optimizer, *, num_classes: int, policy: AugmentPolicy,
-                        grad_mask=None, hooks: Sequence[TrainerHook] = ()) -> Callable:
+                        grad_mask=None, hooks: Sequence[TrainerHook] = (),
+                        store: Optional[DeviceStore] = None) -> Callable:
     """Labeled-only step (reference FineTuneEpocher, new_epocher.py:241-289).
 
     Optional labeled-only hooks (MixUpHook — reference MixUpEpocher,
@@ -142,6 +155,7 @@ def build_finetune_step(model, optimizer, *, num_classes: int, policy: AugmentPo
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, key, hook_scalars):
+        batch = _resolve_batch(store, batch)
         (_, (new_stats, logits, lab, sup, hook_metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch, key, hook_scalars)
         new_params, new_opt = _optimizer_update(optimizer, grads, state, grad_mask)
@@ -159,7 +173,8 @@ def build_finetune_step(model, optimizer, *, num_classes: int, policy: AugmentPo
 def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
                     num_classes: int, policy: AugmentPolicy, grad_mask=None,
                     flip_threshold: float = 0.8, two_stage: bool = False,
-                    disable_bn: bool = False, ema_alpha: float = 0.999) -> Callable:
+                    disable_bn: bool = False, ema_alpha: float = 0.999,
+                    store: Optional[DeviceStore] = None) -> Callable:
     """Semi-supervised step (reference SemiSupervisedEpocher._run_semi,
     new_epocher.py:145-238): sup CE on labeled view + sum of hook regularizers
     on the unlabeled pair; optional two-stage forward with frozen BN stats for
@@ -248,6 +263,8 @@ def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch_l, batch_u, key, hook_scalars):
+        batch_l = _resolve_batch(store, batch_l)
+        batch_u = _resolve_batch(store, batch_u)
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, state.teacher_params,
             batch_l, batch_u, key, hook_scalars)
@@ -273,7 +290,8 @@ def isinstance_name(obj) -> str:
 # =============================================================================== pretrain
 def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
                         policy: AugmentPolicy, total_freedom: bool, until: Optional[str],
-                        grad_mask=None, flip_threshold: float = 0.8) -> Callable:
+                        grad_mask=None, flip_threshold: float = 0.8,
+                        store: Optional[DeviceStore] = None) -> Callable:
     """Contrastive pretrain step (reference _PretrainEpocherMixin,
     new_pretrain.py:19-126): two on-device views, view-2 additionally flipped
     with replayable params, partial forward to `until`, loss = hook sum."""
@@ -306,6 +324,7 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
         return total, (new_stats, hook_metrics)
 
     def raw_step(state: TrainState, batch, key, hook_scalars):
+        batch = _resolve_batch(store, batch)
         (loss, (new_stats, hook_metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch, key, hook_scalars)
         new_params, new_opt = _optimizer_update(optimizer, grads, state, grad_mask)
@@ -321,7 +340,8 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
 # =============================================================================== adversarial
 def build_adversarial_step(model, discr, optimizer, discr_optimizer, *,
                            num_classes: int, policy: AugmentPolicy,
-                           reg_weight: float, dis_consider_image: bool = False) -> Callable:
+                           reg_weight: float, dis_consider_image: bool = False,
+                           store: Optional[DeviceStore] = None) -> Callable:
     """DCGAN-style adversarial baseline (reference AdversarialEpocher,
     new_comparable.py:89-206): generator = segmentor (sup CE + fool-D on
     unlabeled), discriminator = labeled(real)/unlabeled(fake) BCE."""
@@ -365,6 +385,8 @@ def build_adversarial_step(model, discr, optimizer, discr_optimizer, *,
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch_l, batch_u, key):
+        batch_l = _resolve_batch(store, batch_l)
+        batch_u = _resolve_batch(store, batch_u)
         (_, aux), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
             state.params, state.batch_stats, state.discr_params, batch_l, batch_u, key)
         new_stats, logits_l, lab_l, logits_u, img_l, img_u, sup, gen_err = aux

@@ -31,6 +31,7 @@ from .state import TrainState, create_train_state
 from .steps import (build_adversarial_step, build_eval_step, build_finetune_step,
                     build_pretrain_step, build_semi_step)
 from ..data.augment import POLICY_ZOO, AugmentPolicy
+from ..data.device_store import DeviceStore
 from ..data.loader import HostLoader
 from ..hooks.base import TrainerHook, get_individual_hooks
 from ..meters import AverageValueMeter, MeterInterface, Storage, UniversalDice
@@ -70,7 +71,13 @@ class Trainer:
                  max_epoch: int = 100, num_batches: int = 100,
                  config: Optional[Dict] = None, seed: int = 10,
                  crop: int = 224, data_name: str = "acdc",
-                 two_stage: bool = False, disable_bn: bool = False):
+                 two_stage: bool = False, disable_bn: bool = False,
+                 device_data: bool = True):
+        # device_data: keep the packed datasets resident in HBM and gather
+        # batches by index inside the jitted step (the reference's datasets
+        # are all <1GB packed). Per-step H2D traffic drops to an index
+        # vector. Set False to stream host batches (arbitrarily large data).
+        self._device_data = bool(device_data)
         self._model = model
         self._labeled_loader = labeled_loader
         self._unlabeled_loader = unlabeled_loader
@@ -194,10 +201,22 @@ class Trainer:
             if isinstance(v, (str, int, float, bool, tuple, type(None)))))
         return (type(h).__name__, items)
 
+    def _train_store(self):
+        if not self._device_data:
+            return None
+        return DeviceStore.for_dataset(self._labeled_loader.dataset)
+
+    def _eval_store(self):
+        if not self._device_data:
+            return None
+        return DeviceStore.for_dataset(self._val_loader.dataset)
+
     def _step_cache_key(self, flavor: str):
         hooks = self._hooks if self.activate_hooks else []
+        store = self._train_store() if flavor != "eval" else self._eval_store()
         return (
             flavor, self._model,
+            id(store.images) if store is not None else None,
             _freeze(self._config.get("Optim", {})),
             _freeze(self._config.get("Scheduler", {})),
             self._max_epoch, self._num_batches, self.train_policy, self._crop,
@@ -220,9 +239,11 @@ class Trainer:
         self._train_step = self._cached_step("semi", lambda: build_semi_step(
             self._model, hooks, self._optimizer, num_classes=num_classes,
             policy=self.train_policy, grad_mask=self._grad_mask,
-            two_stage=self._two_stage, disable_bn=self._disable_bn))
+            two_stage=self._two_stage, disable_bn=self._disable_bn,
+            store=self._train_store()))
         self._eval_step = self._cached_step("eval", lambda: build_eval_step(
-            self._model, num_classes=num_classes, crop=self._crop))
+            self._model, num_classes=num_classes, crop=self._crop,
+            store=self._eval_store()))
 
     # ----------------------------------------------------------------- epochs
     def _hook_scalars(self) -> Dict[str, Dict[str, float]]:
@@ -245,15 +266,7 @@ class Trainer:
         with meters.focus_on(self.train_meter_focus):
             self._configure_train_meters(meters)
         scalars = self._hook_scalars()
-        # overlap host batch gather + H2D transfer with device compute — the
-        # device tunnel's per-transfer latency dwarfs the step compute
-        from itertools import islice
-        from ..data.loader import device_prefetch
-        lab_iter = device_prefetch(
-            islice(iter(self._labeled_loader), self._num_batches), depth=3)
-        unl_iter = (device_prefetch(
-            islice(iter(self._unlabeled_loader), self._num_batches), depth=3)
-            if self._unlabeled_loader is not None else None)
+        lab_iter, unl_iter = self._train_streams()
         t0 = time.time()
         # metrics stay as device futures during the epoch (no per-step host
         # sync — a host round trip would serialize the async dispatch queue);
@@ -263,19 +276,57 @@ class Trainer:
             batch_l = next(lab_iter)
             key = self._keychain.next()
             self._state, metrics = self._train_dispatch(batch_l, unl_iter, key, scalars)
-            pending.append((metrics, batch_l["scan_idx"], batch_l["valid"]))
+            pending.append((metrics, self._group_token(batch_l)))
         jax.block_until_ready(self._state)
         elapsed = time.time() - t0
-        for metrics, scan_idx, valid in pending:
-            groups = self._labeled_groups({"scan_idx": jax.device_get(scan_idx)})
-            self._consume_train_metrics(meters, metrics, groups,
-                                        {"valid": jax.device_get(valid)})
+        for metrics, token in pending:
+            groups, valid = self._groups_and_valid(token)
+            self._consume_train_metrics(meters, metrics, groups, {"valid": valid})
         with meters.focus_on(self.train_meter_focus):
             meters["lr"].add(float(self._lr_schedule(int(self._state.step) - 1)))
         stats = meters.statistics()
         stats.setdefault(self.train_meter_focus, {})["throughput"] = {
             "slices_per_sec": self._epoch_slices() / max(elapsed, 1e-9)}
         return stats
+
+    def _train_streams(self):
+        """(labeled, unlabeled) batch streams for one epoch.
+
+        device_data: yield GLOBAL index vectors (the step gathers in HBM);
+        otherwise: host batches with depth-3 device prefetch."""
+        from itertools import islice
+        from ..data.loader import device_prefetch
+
+        if self._device_data:
+            def idx_stream(loader):
+                ds = loader.dataset
+                for local in loader.sampler:
+                    yield np.asarray(ds.to_global(local), np.int32)
+
+            lab = idx_stream(self._labeled_loader)
+            unl = (idx_stream(self._unlabeled_loader)
+                   if self._unlabeled_loader is not None else None)
+            return lab, unl
+        lab = device_prefetch(
+            islice(iter(self._labeled_loader), self._num_batches), depth=3)
+        unl = (device_prefetch(
+            islice(iter(self._unlabeled_loader), self._num_batches), depth=3)
+            if self._unlabeled_loader is not None else None)
+        return lab, unl
+
+    def _group_token(self, batch_l):
+        if self._device_data:
+            return batch_l  # the global index vector (host numpy)
+        return (batch_l["scan_idx"], batch_l["valid"])
+
+    def _groups_and_valid(self, token):
+        if self._device_data:
+            idx = np.asarray(token)
+            root = self._labeled_loader.dataset.root
+            groups = [root.scan_names[i] if i >= 0 else "<pad>" for i in idx]
+            return groups, (idx >= 0).astype(np.float32)
+        scan_idx, valid = jax.device_get(token)
+        return self._labeled_groups({"scan_idx": scan_idx}), valid
 
     def _epoch_slices(self) -> int:
         per = self._labeled_loader.sampler._batch_size if hasattr(
@@ -317,10 +368,19 @@ class Trainer:
         sampler = loader.sampler
         from ..data.loader import device_prefetch
         pending = []
-        for i, batch in enumerate(device_prefetch(iter(loader), depth=3)):
-            out = self._eval_step(
-                self._state.params["model"], self._state.batch_stats, batch)
-            pending.append((out, batch["valid"], sampler.scan_of_batch(i)))
+        if self._device_data:
+            ds = loader.dataset
+            for i, local in enumerate(sampler):
+                gidx = np.asarray(ds.to_global(local), np.int32)
+                out = self._eval_step(
+                    self._state.params["model"], self._state.batch_stats, gidx)
+                pending.append((out, (gidx >= 0).astype(np.float32),
+                                sampler.scan_of_batch(i)))
+        else:
+            for i, batch in enumerate(device_prefetch(iter(loader), depth=3)):
+                out = self._eval_step(
+                    self._state.params["model"], self._state.batch_stats, batch)
+                pending.append((out, batch["valid"], sampler.scan_of_batch(i)))
         for out, valid, scan in pending:  # one drain after all dispatches
             out, valid = jax.device_get((out, valid))
             meters["loss"].add(float(out["loss"]))
@@ -424,12 +484,53 @@ class FineTuneTrainer(Trainer):
         num_classes = self._model.num_classes
         self._train_step = self._cached_step("ft", lambda: build_finetune_step(
             self._model, self._optimizer, num_classes=num_classes,
-            policy=self.train_policy, grad_mask=self._grad_mask, hooks=[]))
+            policy=self.train_policy, grad_mask=self._grad_mask, hooks=[],
+            store=self._train_store()))
         self._eval_step = self._cached_step("eval", lambda: build_eval_step(
-            self._model, num_classes=num_classes, crop=self._crop))
+            self._model, num_classes=num_classes, crop=self._crop,
+            store=self._eval_store()))
 
     def _train_dispatch(self, batch_l, unl_iter, key, scalars):
         return self._train_step(self._state, batch_l, key, scalars)
+
+    def _train_streams(self):
+        """(labeled, unlabeled) batch streams for one epoch.
+
+        device_data: yield GLOBAL index vectors (the step gathers in HBM);
+        otherwise: host batches with depth-3 device prefetch."""
+        from itertools import islice
+        from ..data.loader import device_prefetch
+
+        if self._device_data:
+            def idx_stream(loader):
+                ds = loader.dataset
+                for local in loader.sampler:
+                    yield np.asarray(ds.to_global(local), np.int32)
+
+            lab = idx_stream(self._labeled_loader)
+            unl = (idx_stream(self._unlabeled_loader)
+                   if self._unlabeled_loader is not None else None)
+            return lab, unl
+        lab = device_prefetch(
+            islice(iter(self._labeled_loader), self._num_batches), depth=3)
+        unl = (device_prefetch(
+            islice(iter(self._unlabeled_loader), self._num_batches), depth=3)
+            if self._unlabeled_loader is not None else None)
+        return lab, unl
+
+    def _group_token(self, batch_l):
+        if self._device_data:
+            return batch_l  # the global index vector (host numpy)
+        return (batch_l["scan_idx"], batch_l["valid"])
+
+    def _groups_and_valid(self, token):
+        if self._device_data:
+            idx = np.asarray(token)
+            root = self._labeled_loader.dataset.root
+            groups = [root.scan_names[i] if i >= 0 else "<pad>" for i in idx]
+            return groups, (idx >= 0).astype(np.float32)
+        scan_idx, valid = jax.device_get(token)
+        return self._labeled_groups({"scan_idx": scan_idx}), valid
 
     def _epoch_slices(self) -> int:
         per = getattr(self._labeled_loader.sampler, "_batch_size", 0)
@@ -445,9 +546,11 @@ class MixUpTrainer(FineTuneTrainer):
         num_classes = self._model.num_classes
         self._train_step = self._cached_step("ft_hooks", lambda: build_finetune_step(
             self._model, self._optimizer, num_classes=num_classes,
-            policy=self.train_policy, grad_mask=self._grad_mask, hooks=self._hooks))
+            policy=self.train_policy, grad_mask=self._grad_mask, hooks=self._hooks,
+            store=self._train_store()))
         self._eval_step = self._cached_step("eval", lambda: build_eval_step(
-            self._model, num_classes=num_classes, crop=self._crop))
+            self._model, num_classes=num_classes, crop=self._crop,
+            store=self._eval_store()))
 
 
 class AdversarialTrainer(Trainer):
@@ -477,9 +580,10 @@ class AdversarialTrainer(Trainer):
         self._train_step = build_adversarial_step(
             self._model, self._discr, self._optimizer, self._discr_optimizer,
             num_classes=num_classes, policy=self.train_policy,
-            reg_weight=self._reg_weight, dis_consider_image=self._dis_consider_image)
+            reg_weight=self._reg_weight, dis_consider_image=self._dis_consider_image,
+            store=self._train_store())
         self._eval_step = build_eval_step(self._model, num_classes=num_classes,
-                                          crop=self._crop)
+                                          crop=self._crop, store=self._eval_store())
 
     def _configure_train_meters(self, meters: MeterInterface) -> None:
         super()._configure_train_meters(meters)
@@ -516,13 +620,18 @@ class _PretrainTrainer(Trainer):
         self._forward_until = forward_until
         self._init_until = forward_until  # param tree stops here (see Trainer.init)
 
+    def _train_store(self):
+        if not self._device_data:
+            return None
+        return DeviceStore.for_dataset(self._contrastive_loader.dataset)
+
     def _build_steps(self) -> None:
         self._train_step = build_pretrain_step(
             self._model, self._hooks, self._optimizer, policy=self.train_policy,
             total_freedom=self.total_freedom, until=self._forward_until,
-            grad_mask=self._grad_mask)
+            grad_mask=self._grad_mask, store=self._train_store())
         self._eval_step = build_eval_step(self._model, num_classes=self._model.num_classes,
-                                          crop=self._crop)
+                                          crop=self._crop, store=self._eval_store())
 
     def _run_train_epoch(self) -> Dict:
         meters = MeterInterface(default_focus=self.train_meter_focus)
@@ -532,14 +641,25 @@ class _PretrainTrainer(Trainer):
         scalars = self._hook_scalars()
         from itertools import islice
         from ..data.loader import device_prefetch
-        it = device_prefetch(
-            islice(iter(self._contrastive_loader), self._num_batches), depth=3)
+        if self._device_data:
+            ds = self._contrastive_loader.dataset
+
+            def idx_stream():
+                for local in self._contrastive_loader.sampler:
+                    yield np.asarray(ds.to_global(local), np.int32)
+
+            it = idx_stream()
+            batch_len = lambda b: b.shape[0]  # noqa: E731
+        else:
+            it = device_prefetch(
+                islice(iter(self._contrastive_loader), self._num_batches), depth=3)
+            batch_len = lambda b: b["image"].shape[0]  # noqa: E731
         t0 = time.time()
         n_slices = 0
         pending = []  # drain once at epoch end (no per-step host sync)
         for b in range(self._num_batches):
             batch = next(it)
-            n_slices += 2 * batch["image"].shape[0]
+            n_slices += 2 * batch_len(batch)
             key = self._keychain.next()
             self._state, metrics = self._train_step(self._state, batch, key, scalars)
             pending.append(metrics)

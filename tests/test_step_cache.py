@@ -18,9 +18,14 @@ class _Tiny(FineTuneTrainer):
         return AugmentPolicy(crop=CROP, rot_degrees=10.0)
 
 
+_TRA = synthetic_dataset("acdc", num_scans=8, slices_per_scan=(6, 8), canvas=CANVAS, seed=0)
+_TEST = synthetic_dataset("acdc", num_scans=4, canvas=CANVAS, seed=1, mode="val")
+
+
 def _mk(tmp_path, tag, labeled=2, lr=1e-3, seed=7):
-    tra = synthetic_dataset("acdc", num_scans=8, slices_per_scan=(6, 8), canvas=CANVAS, seed=0)
-    test = synthetic_dataset("acdc", num_scans=4, canvas=CANVAS, seed=1, mode="val")
+    # step sharing requires shared ROOT datasets (one DeviceStore); the
+    # entry layer guarantees this via its dataset cache
+    tra, test = _TRA, _TEST
     lab, _, val, _ = get_data(tra_set=tra, test_set=test, labeled_scan_num=labeled,
                               labeled_batch_size=3, unlabeled_batch_size=3,
                               load_predefined_list=False)
