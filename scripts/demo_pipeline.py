@@ -96,10 +96,20 @@ contrastive batch = 10 scans x 3 partitions, 2 labeled scans for finetune.
 
 Raw: `{json.dumps(results)}`
 
-Notes: wall-clock includes one-time XLA compilation through this
-environment's remote-compile relay (minutes; amortized to zero over the
-reference's 80x200-step schedules). The reference pipeline at the same
-per-epoch workload takes hours per phase on a V100-class GPU.
+Notes:
+- The synthetic task saturates from scratch (blobs are easy), so pretraining
+  shows no Dice advantage here — this run demonstrates the PIPELINE
+  (pretrain -> partial warm start -> finetune -> per-scan eval ->
+  best/last checkpoints) on real TPU hardware, not the paper's low-label
+  effect, which needs the real ACDC data (gdrive-hosted; unavailable in
+  this zero-egress environment).
+- Wall-clock includes one-time XLA compilation through this environment's
+  remote-compile relay; later phases reuse compiled steps via the
+  in-process step cache.
+- Datasets are device-resident (DeviceStore): batches are gathered in HBM
+  by index, so the per-step host->device traffic is one index vector.
+- Per-epoch steady-state throughput is recorded in each run's storage.csv
+  (tra/throughput/slices_per_sec); bench.py reports the pure-step rate.
 """)
     print("wrote", OUT, flush=True)
 

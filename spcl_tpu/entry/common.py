@@ -122,7 +122,8 @@ def build_trainer(config: Dict, *, save_dir: Optional[str] = None,
                   num_batches=int(trainer_cfg.get("num_batches", 100)),
                   config=config, seed=seed, crop=crop, data_name=data_name,
                   two_stage=bool(trainer_cfg.get("two_stage", False)),
-                  disable_bn=bool(trainer_cfg.get("disable_bn", False)))
+                  disable_bn=bool(trainer_cfg.get("disable_bn", False)),
+                  device_data=bool(trainer_cfg.get("device_data", True)))
 
     if name.startswith("pretrain"):
         cl_cfg = config.get("ContrastiveLoaderParams", {})

@@ -23,20 +23,21 @@ import optax
 from .state import TrainState
 from ..data.augment import (AugmentPolicy, apply_flip, augment_once, augment_twice,
                             center_crop, flip_params)
-from ..data.device_store import DeviceStore
+from ..data.device_store import DeviceStore, gather_from
 from ..hooks.base import TrainerHook
 from ..losses.functional import class2one_hot
 from ..meters.dice import dice_stats_from_labels
 from ..models.masking import zero_grads_by_mask
 
 
-def _resolve_batch(store, batch_or_idx):
+def _resolve_batch(store_arrays, batch_or_idx):
     """Steps accept either a host batch dict or, with a DeviceStore, a [B]
     int32 global-index vector — the batch is gathered in HBM (the only
-    per-step H2D traffic is the index vector)."""
-    if store is None:
+    per-step H2D traffic is the index vector). The store arrays travel as
+    EXPLICIT jit args (closure capture re-materializes them per call)."""
+    if store_arrays is None:
         return batch_or_idx
-    return store.gather(batch_or_idx)
+    return gather_from(store_arrays, batch_or_idx)
 
 
 def _as_float_image(img):
@@ -92,8 +93,8 @@ def build_eval_step(model, *, num_classes: int, crop: int,
     center crop -> forward -> masked CE + per-slice dice stats."""
 
     @jax.jit
-    def eval_step(params, batch_stats, batch):
-        batch = _resolve_batch(store, batch)
+    def _eval(params, batch_stats, batch, store_arrays):
+        batch = _resolve_batch(store_arrays, batch)
         img, lab = center_crop(_as_float_image(batch["image"]),
                                _as_int_label(batch["label"]), crop)
         acts, _ = _apply_model(model, params, batch_stats, img, train=False)
@@ -103,6 +104,11 @@ def build_eval_step(model, *, num_classes: int, crop: int,
         pred = jnp.argmax(logits, axis=-1)
         inter, union = dice_stats_from_labels(pred, lab, num_classes, batch["valid"])
         return {"loss": loss, "inter": inter, "union": union}
+
+    arrays = store.arrays if store is not None else None
+
+    def eval_step(params, batch_stats, batch):
+        return _eval(params, batch_stats, batch, arrays)
 
     return eval_step
 
@@ -154,8 +160,8 @@ def build_finetune_step(model, optimizer, *, num_classes: int, policy: AugmentPo
         return total, (new_stats, logits, lab, sup, hook_metrics)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, batch, key, hook_scalars):
-        batch = _resolve_batch(store, batch)
+    def _step(state: TrainState, batch, key, hook_scalars, store_arrays):
+        batch = _resolve_batch(store_arrays, batch)
         (_, (new_stats, logits, lab, sup, hook_metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch, key, hook_scalars)
         new_params, new_opt = _optimizer_update(optimizer, grads, state, grad_mask)
@@ -165,6 +171,11 @@ def build_finetune_step(model, optimizer, *, num_classes: int, policy: AugmentPo
                                   batch_stats=new_stats, opt_state=new_opt)
         return new_state, {"sup_loss": sup, "inter": inter, "union": union,
                            "hooks": hook_metrics}
+
+    arrays = store.arrays if store is not None else None
+
+    def step(state, batch, key, hook_scalars):
+        return _step(state, batch, key, hook_scalars, arrays)
 
     return step
 
@@ -262,9 +273,9 @@ def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
         return total, aux
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, batch_l, batch_u, key, hook_scalars):
-        batch_l = _resolve_batch(store, batch_l)
-        batch_u = _resolve_batch(store, batch_u)
+    def _step(state: TrainState, batch_l, batch_u, key, hook_scalars, store_arrays):
+        batch_l = _resolve_batch(store_arrays, batch_l)
+        batch_u = _resolve_batch(store_arrays, batch_u)
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, state.teacher_params,
             batch_l, batch_u, key, hook_scalars)
@@ -279,6 +290,11 @@ def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
         metrics = {"sup_loss": aux["sup_loss"], "reg_loss": aux["reg_loss"],
                    "inter": inter, "union": union, "hooks": aux["hook_metrics"]}
         return new_state, metrics
+
+    arrays = store.arrays if store is not None else None
+
+    def step(state, batch_l, batch_u, key, hook_scalars):
+        return _step(state, batch_l, batch_u, key, hook_scalars, arrays)
 
     return step
 
@@ -323,8 +339,8 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
             hook_metrics[h.name] = m
         return total, (new_stats, hook_metrics)
 
-    def raw_step(state: TrainState, batch, key, hook_scalars):
-        batch = _resolve_batch(store, batch)
+    def raw_step(state: TrainState, batch, key, hook_scalars, store_arrays=None):
+        batch = _resolve_batch(store_arrays, batch)
         (loss, (new_stats, hook_metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch, key, hook_scalars)
         new_params, new_opt = _optimizer_update(optimizer, grads, state, grad_mask)
@@ -332,7 +348,12 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
                                   batch_stats=new_stats, opt_state=new_opt)
         return new_state, {"reg_loss": loss, "hooks": hook_metrics}
 
-    step = partial(jax.jit, donate_argnums=(0,))(raw_step)
+    jitted = partial(jax.jit, donate_argnums=(0,))(raw_step)
+    arrays = store.arrays if store is not None else None
+
+    def step(state, batch, key, hook_scalars):
+        return jitted(state, batch, key, hook_scalars, arrays)
+
     step.raw = raw_step  # for lax.scan'ed multi-step drivers (bench, big runs)
     return step
 
@@ -384,9 +405,9 @@ def build_adversarial_step(model, discr, optimizer, discr_optimizer, *,
         return loss
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, batch_l, batch_u, key):
-        batch_l = _resolve_batch(store, batch_l)
-        batch_u = _resolve_batch(store, batch_u)
+    def _step(state: TrainState, batch_l, batch_u, key, store_arrays):
+        batch_l = _resolve_batch(store_arrays, batch_l)
+        batch_u = _resolve_batch(store_arrays, batch_u)
         (_, aux), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
             state.params, state.batch_stats, state.discr_params, batch_l, batch_u, key)
         new_stats, logits_l, lab_l, logits_u, img_l, img_u, sup, gen_err = aux
@@ -407,5 +428,10 @@ def build_adversarial_step(model, discr, optimizer, discr_optimizer, *,
         inter, union = dice_stats_from_labels(pred, lab_l, num_classes, batch_l["valid"])
         return state, {"sup_loss": sup, "gen_loss": gen_err, "dis_loss": dis_loss,
                        "inter": inter, "union": union}
+
+    arrays = store.arrays if store is not None else None
+
+    def step(state, batch_l, batch_u, key):
+        return _step(state, batch_l, batch_u, key, arrays)
 
     return step
