@@ -76,3 +76,37 @@ def test_contrastive_loss_spans_global_batch(mesh):
     sh = shard_batch({"z1": z1, "z2": z2, "t": labels}, mesh)
     out = f(sh["z1"], sh["z2"], sh["t"])
     np.testing.assert_allclose(float(ref), float(out), rtol=1e-5)
+
+
+def test_shard_map_global_contrastive(mesh):
+    """Explicit all_gather path (parallel/contrastive.py): per-shard embeddings
+    -> global-batch self-paced loss, equal to the single-device value."""
+    from spcl_tpu.losses import self_paced_supcon_loss
+    from spcl_tpu.parallel.contrastive import make_global_supcon_fn
+
+    rng = np.random.RandomState(5)
+    n, d = 32, 16
+    z1 = rng.randn(n, d).astype(np.float32)
+    z1 /= np.linalg.norm(z1, axis=1, keepdims=True)
+    z2 = rng.randn(n, d).astype(np.float32)
+    z2 /= np.linalg.norm(z2, axis=1, keepdims=True)
+    labels = rng.randint(0, 4, n).astype(np.int32)
+    valid = np.ones(n, np.float32)
+
+    fn = make_global_supcon_fn(mesh, weight_update="soft")
+    sh = shard_batch({"z1": z1, "z2": z2, "t": labels, "v": valid}, mesh)
+    loss, ratio = fn(sh["z1"], sh["z2"], sh["t"], sh["v"], jnp.asarray(3.5))
+    ref_loss, ref_aux = self_paced_supcon_loss(
+        jnp.asarray(z1), jnp.asarray(z2), gamma=3.5, target=jnp.asarray(labels),
+        weight_update="soft")
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(ratio), float(ref_aux.downgrade_ratio), rtol=1e-5)
+
+    # gradients through the sharded loss match the single-device gradients
+    g_sharded = jax.jit(jax.grad(lambda a, b: fn(a, b, sh["t"], sh["v"], jnp.asarray(3.5))[0],
+                                 argnums=(0, 1)))(sh["z1"], sh["z2"])
+    g_ref = jax.grad(lambda a, b: self_paced_supcon_loss(
+        a, b, gamma=3.5, target=jnp.asarray(labels), weight_update="soft")[0],
+        argnums=(0, 1))(jnp.asarray(z1), jnp.asarray(z2))
+    np.testing.assert_allclose(np.asarray(g_sharded[0]), np.asarray(g_ref[0]),
+                               rtol=1e-4, atol=1e-7)
