@@ -22,6 +22,7 @@ class TrainState(struct.PyTreeNode):
     teacher_params: Optional[Any] = None    # EMA teacher (mean-teacher hook)
     discr_params: Optional[Any] = None      # adversarial baseline
     discr_opt_state: Optional[Any] = None
+    base_key: Optional[Any] = None          # PRNG base; steps fold in state.step
 
     def trainable_params(self):
         return self.params
@@ -30,7 +31,8 @@ class TrainState(struct.PyTreeNode):
 def create_train_state(*, model_params, batch_stats, hook_params: Dict[str, Any],
                        tx: optax.GradientTransformation,
                        teacher: bool = False,
-                       discr_params=None, discr_tx=None) -> TrainState:
+                       discr_params=None, discr_tx=None,
+                       base_key=None) -> TrainState:
     params = {"model": model_params, "hooks": hook_params}
     opt_state = tx.init(params)
     # the teacher must NOT alias the student buffers: train steps donate the
@@ -41,4 +43,5 @@ def create_train_state(*, model_params, batch_stats, hook_params: Dict[str, Any]
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=batch_stats, opt_state=opt_state,
                       teacher_params=teacher_params,
-                      discr_params=discr_params, discr_opt_state=discr_opt_state)
+                      discr_params=discr_params, discr_opt_state=discr_opt_state,
+                      base_key=base_key)

@@ -30,6 +30,18 @@ from ..meters.dice import dice_stats_from_labels
 from ..models.masking import zero_grads_by_mask
 
 
+def _epoch_row(state: TrainState, epoch_idx: jnp.ndarray):
+    """Epoch-batched mode: the trainer uploads the WHOLE epoch's index matrix
+    [num_batches, B] once; each step selects its row by state.step and derives
+    its PRNG key from state.base_key — leaving ONE runtime RPC per step (the
+    execute). Valid because every epoch runs exactly num_batches steps."""
+    nb = epoch_idx.shape[0]
+    row = jax.lax.rem(state.step, nb)
+    idx = jax.lax.dynamic_index_in_dim(epoch_idx, row, axis=0, keepdims=False)
+    key = jax.random.fold_in(state.base_key, state.step)
+    return idx, key
+
+
 def _resolve_batch(store_arrays, batch_or_idx):
     """Steps accept either a host batch dict or, with a DeviceStore, a [B]
     int32 global-index vector — the batch is gathered in HBM (the only
@@ -159,9 +171,7 @@ def build_finetune_step(model, optimizer, *, num_classes: int, policy: AugmentPo
         total = sup + reg_total
         return total, (new_stats, logits, lab, sup, hook_metrics)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def _step(state: TrainState, batch, key, hook_scalars, store_arrays):
-        batch = _resolve_batch(store_arrays, batch)
+    def _step_body(state: TrainState, batch, key, hook_scalars):
         (_, (new_stats, logits, lab, sup, hook_metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch, key, hook_scalars)
         new_params, new_opt = _optimizer_update(optimizer, grads, state, grad_mask)
@@ -172,11 +182,24 @@ def build_finetune_step(model, optimizer, *, num_classes: int, policy: AugmentPo
         return new_state, {"sup_loss": sup, "inter": inter, "union": union,
                            "hooks": hook_metrics}
 
+    @partial(jax.jit, donate_argnums=(0,))
+    def _step(state: TrainState, batch, key, hook_scalars, store_arrays):
+        return _step_body(state, _resolve_batch(store_arrays, batch), key, hook_scalars)
+
     arrays = store.arrays if store is not None else None
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _epoch_step(state: TrainState, epoch_idx, hook_scalars, store_arrays):
+        idx, key = _epoch_row(state, epoch_idx)
+        return _step_body(state, _resolve_batch(store_arrays, idx), key, hook_scalars)
 
     def step(state, batch, key, hook_scalars):
         return _step(state, batch, key, hook_scalars, arrays)
 
+    def epoch_step(state, epoch_idx, hook_scalars):
+        return _epoch_step(state, epoch_idx, hook_scalars, arrays)
+
+    step.epoch_step = epoch_step
     return step
 
 
@@ -272,10 +295,7 @@ def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
                "logits_l": logits_l, "lab_l": lab_l, "hook_metrics": hook_metrics}
         return total, aux
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def _step(state: TrainState, batch_l, batch_u, key, hook_scalars, store_arrays):
-        batch_l = _resolve_batch(store_arrays, batch_l)
-        batch_u = _resolve_batch(store_arrays, batch_u)
+    def _step_body(state: TrainState, batch_l, batch_u, key, hook_scalars):
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, state.teacher_params,
             batch_l, batch_u, key, hook_scalars)
@@ -291,11 +311,30 @@ def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
                    "inter": inter, "union": union, "hooks": aux["hook_metrics"]}
         return new_state, metrics
 
+    @partial(jax.jit, donate_argnums=(0,))
+    def _step(state: TrainState, batch_l, batch_u, key, hook_scalars, store_arrays):
+        return _step_body(state, _resolve_batch(store_arrays, batch_l),
+                          _resolve_batch(store_arrays, batch_u), key, hook_scalars)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _epoch_step(state: TrainState, epoch_idx_l, epoch_idx_u, hook_scalars,
+                    store_arrays):
+        idx_l, key = _epoch_row(state, epoch_idx_l)
+        nb = epoch_idx_u.shape[0]
+        idx_u = jax.lax.dynamic_index_in_dim(
+            epoch_idx_u, jax.lax.rem(state.step, nb), axis=0, keepdims=False)
+        return _step_body(state, _resolve_batch(store_arrays, idx_l),
+                          _resolve_batch(store_arrays, idx_u), key, hook_scalars)
+
     arrays = store.arrays if store is not None else None
 
     def step(state, batch_l, batch_u, key, hook_scalars):
         return _step(state, batch_l, batch_u, key, hook_scalars, arrays)
 
+    def epoch_step(state, epoch_idx_l, epoch_idx_u, hook_scalars):
+        return _epoch_step(state, epoch_idx_l, epoch_idx_u, hook_scalars, arrays)
+
+    step.epoch_step = epoch_step
     return step
 
 
@@ -339,8 +378,7 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
             hook_metrics[h.name] = m
         return total, (new_stats, hook_metrics)
 
-    def raw_step(state: TrainState, batch, key, hook_scalars, store_arrays=None):
-        batch = _resolve_batch(store_arrays, batch)
+    def _step_body(state: TrainState, batch, key, hook_scalars):
         (loss, (new_stats, hook_metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch, key, hook_scalars)
         new_params, new_opt = _optimizer_update(optimizer, grads, state, grad_mask)
@@ -348,13 +386,26 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
                                   batch_stats=new_stats, opt_state=new_opt)
         return new_state, {"reg_loss": loss, "hooks": hook_metrics}
 
+    def raw_step(state: TrainState, batch, key, hook_scalars, store_arrays=None):
+        return _step_body(state, _resolve_batch(store_arrays, batch), key, hook_scalars)
+
     jitted = partial(jax.jit, donate_argnums=(0,))(raw_step)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _epoch_step(state: TrainState, epoch_idx, hook_scalars, store_arrays):
+        idx, key = _epoch_row(state, epoch_idx)
+        return _step_body(state, _resolve_batch(store_arrays, idx), key, hook_scalars)
+
     arrays = store.arrays if store is not None else None
 
     def step(state, batch, key, hook_scalars):
         return jitted(state, batch, key, hook_scalars, arrays)
 
+    def epoch_step(state, epoch_idx, hook_scalars):
+        return _epoch_step(state, epoch_idx, hook_scalars, arrays)
+
     step.raw = raw_step  # for lax.scan'ed multi-step drivers (bench, big runs)
+    step.epoch_step = epoch_step
     return step
 
 

@@ -64,6 +64,7 @@ class Trainer:
     """Base supervised/semi-supervised trainer."""
     activate_hooks = True
     train_meter_focus = "tra"
+    uses_unlabeled = True  # semi consumes an unlabeled stream; FineTune doesn't
 
     def __init__(self, *, model: UNet, labeled_loader: HostLoader,
                  unlabeled_loader: Optional[HostLoader], val_loader: HostLoader,
@@ -192,7 +193,8 @@ class Trainer:
     def _create_state(self, model_params, batch_stats, hook_params, needs_teacher):
         return create_train_state(model_params=model_params, batch_stats=batch_stats,
                                   hook_params=hook_params, tx=self._optimizer,
-                                  teacher=needs_teacher)
+                                  teacher=needs_teacher,
+                                  base_key=jnp.asarray(self._keychain.next()))
 
     @staticmethod
     def _hook_cache_key(h: TrainerHook):
@@ -266,17 +268,27 @@ class Trainer:
         with meters.focus_on(self.train_meter_focus):
             self._configure_train_meters(meters)
         scalars = self._hook_scalars()
-        lab_iter, unl_iter = self._train_streams()
-        t0 = time.time()
         # metrics stay as device futures during the epoch (no per-step host
         # sync — a host round trip would serialize the async dispatch queue);
         # one bulk device_get drains them at epoch end
         pending = []
-        for b in range(self._num_batches):
-            batch_l = next(lab_iter)
-            key = self._keychain.next()
-            self._state, metrics = self._train_dispatch(batch_l, unl_iter, key, scalars)
-            pending.append((metrics, self._group_token(batch_l)))
+        if self._device_data and hasattr(self._train_step, "epoch_step"):
+            # epoch-batched mode: the WHOLE epoch's index matrices + hook
+            # scalars upload once; each step is a single execute RPC (the
+            # device link charges a full round trip per transfer)
+            host_mats, dev_args = self._epoch_matrices(scalars)
+            t0 = time.time()
+            for b in range(self._num_batches):
+                self._state, metrics = self._train_step.epoch_step(self._state, *dev_args)
+                pending.append((metrics, host_mats[0][b]))
+        else:
+            lab_iter, unl_iter = self._train_streams()
+            t0 = time.time()
+            for b in range(self._num_batches):
+                batch_l = next(lab_iter)
+                key = self._keychain.next()
+                self._state, metrics = self._train_dispatch(batch_l, unl_iter, key, scalars)
+                pending.append((metrics, self._group_token(batch_l)))
         jax.block_until_ready(self._state)
         elapsed = time.time() - t0
         for metrics, token in pending:
@@ -288,6 +300,25 @@ class Trainer:
         stats.setdefault(self.train_meter_focus, {})["throughput"] = {
             "slices_per_sec": self._epoch_slices() / max(elapsed, 1e-9)}
         return stats
+
+    def _index_matrix(self, loader) -> np.ndarray:
+        ds = loader.dataset
+        it = iter(loader.sampler)
+        rows = [np.asarray(ds.to_global(next(it)), np.int32)
+                for _ in range(self._num_batches)]
+        return np.stack(rows)
+
+    def _epoch_matrices(self, scalars):
+        """(host_matrices, device_step_args) for the epoch-batched fast path."""
+        mat_l = self._index_matrix(self._labeled_loader)
+        host = [mat_l]
+        if self.uses_unlabeled and self._unlabeled_loader is not None:
+            mat_u = self._index_matrix(self._unlabeled_loader)
+            host.append(mat_u)
+            dev = jax.device_put((mat_l, mat_u, scalars))
+            return host, dev
+        dev = jax.device_put((mat_l, scalars))
+        return host, dev
 
     def _train_streams(self):
         """(labeled, unlabeled) batch streams for one epoch.
@@ -479,6 +510,7 @@ class SemiTrainer(Trainer):
 class FineTuneTrainer(Trainer):
     """Labeled-only (reference new_trainer.py:59-76, activate_hooks=False)."""
     activate_hooks = False
+    uses_unlabeled = False
 
     def _build_steps(self) -> None:
         num_classes = self._model.num_classes
@@ -492,6 +524,25 @@ class FineTuneTrainer(Trainer):
 
     def _train_dispatch(self, batch_l, unl_iter, key, scalars):
         return self._train_step(self._state, batch_l, key, scalars)
+
+    def _index_matrix(self, loader) -> np.ndarray:
+        ds = loader.dataset
+        it = iter(loader.sampler)
+        rows = [np.asarray(ds.to_global(next(it)), np.int32)
+                for _ in range(self._num_batches)]
+        return np.stack(rows)
+
+    def _epoch_matrices(self, scalars):
+        """(host_matrices, device_step_args) for the epoch-batched fast path."""
+        mat_l = self._index_matrix(self._labeled_loader)
+        host = [mat_l]
+        if self.uses_unlabeled and self._unlabeled_loader is not None:
+            mat_u = self._index_matrix(self._unlabeled_loader)
+            host.append(mat_u)
+            dev = jax.device_put((mat_l, mat_u, scalars))
+            return host, dev
+        dev = jax.device_put((mat_l, scalars))
+        return host, dev
 
     def _train_streams(self):
         """(labeled, unlabeled) batch streams for one epoch.
@@ -641,28 +692,28 @@ class _PretrainTrainer(Trainer):
         scalars = self._hook_scalars()
         from itertools import islice
         from ..data.loader import device_prefetch
-        if self._device_data:
-            ds = self._contrastive_loader.dataset
-
-            def idx_stream():
-                for local in self._contrastive_loader.sampler:
-                    yield np.asarray(ds.to_global(local), np.int32)
-
-            it = idx_stream()
-            batch_len = lambda b: b.shape[0]  # noqa: E731
-        else:
-            it = device_prefetch(
-                islice(iter(self._contrastive_loader), self._num_batches), depth=3)
-            batch_len = lambda b: b["image"].shape[0]  # noqa: E731
         t0 = time.time()
         n_slices = 0
         pending = []  # drain once at epoch end (no per-step host sync)
-        for b in range(self._num_batches):
-            batch = next(it)
-            n_slices += 2 * batch_len(batch)
-            key = self._keychain.next()
-            self._state, metrics = self._train_step(self._state, batch, key, scalars)
-            pending.append(metrics)
+        if self._device_data:
+            mat = self._index_matrix(self._contrastive_loader)
+            dev_mat, dev_scalars = jax.device_put((mat, scalars))
+            t0 = time.time()
+            for b in range(self._num_batches):
+                n_slices += 2 * mat.shape[1]
+                self._state, metrics = self._train_step.epoch_step(
+                    self._state, dev_mat, dev_scalars)
+                pending.append(metrics)
+        else:
+            it = device_prefetch(
+                islice(iter(self._contrastive_loader), self._num_batches), depth=3)
+            t0 = time.time()
+            for b in range(self._num_batches):
+                batch = next(it)
+                n_slices += 2 * batch["image"].shape[0]
+                key = self._keychain.next()
+                self._state, metrics = self._train_step(self._state, batch, key, scalars)
+                pending.append(metrics)
         jax.block_until_ready(self._state)
         elapsed = time.time() - t0
         for m in jax.device_get(pending):
