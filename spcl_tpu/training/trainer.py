@@ -291,7 +291,14 @@ class Trainer:
                 pending.append((metrics, self._group_token(batch_l)))
         jax.block_until_ready(self._state)
         elapsed = time.time() - t0
-        for metrics, token in pending:
+        # stack the epoch's metrics ON DEVICE and fetch once: the device link
+        # charges a round trip per buffer, so fetching N-step dicts separately
+        # costs hundreds of RPCs
+        metric_list = [m for m, _ in pending]
+        stacked = jax.device_get(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *metric_list))
+        for b, (_, token) in enumerate(pending):
+            metrics = jax.tree_util.tree_map(lambda x: x[b], stacked)
             groups, valid = self._groups_and_valid(token)
             self._consume_train_metrics(meters, metrics, groups, {"valid": valid})
         with meters.focus_on(self.train_meter_focus):
@@ -412,10 +419,15 @@ class Trainer:
                 out = self._eval_step(
                     self._state.params["model"], self._state.batch_stats, batch)
                 pending.append((out, batch["valid"], sampler.scan_of_batch(i)))
-        for out, valid, scan in pending:  # one drain after all dispatches
-            out, valid = jax.device_get((out, valid))
+        # stack outputs on device, fetch once (one RPC per buffer otherwise)
+        outs = [o for o, _, _ in pending]
+        stacked = jax.device_get(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *outs)) if outs else {}
+        valids = jax.device_get([v for _, v, _ in pending])
+        for b, (_, _, scan) in enumerate(pending):
+            out = jax.tree_util.tree_map(lambda x: x[b], stacked)
             meters["loss"].add(float(out["loss"]))
-            keep = np.asarray(valid).astype(bool)
+            keep = np.asarray(valids[b]).astype(bool)
             dice.add(out["inter"][keep], out["union"][keep], group_name=scan)
         stats = meters.statistics("eval")
         return stats, float(stats["dice"]["DSC_mean"])
@@ -716,7 +728,10 @@ class _PretrainTrainer(Trainer):
                 pending.append(metrics)
         jax.block_until_ready(self._state)
         elapsed = time.time() - t0
-        for m in jax.device_get(pending):
+        stacked = jax.device_get(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *pending))
+        for b in range(len(pending)):
+            m = jax.tree_util.tree_map(lambda x: x[b], stacked)
             with meters.focus_on(self.train_meter_focus):
                 meters["reg_loss"].add(float(m["reg_loss"]))
             for name, hm in m.get("hooks", {}).items():
