@@ -123,7 +123,8 @@ def build_trainer(config: Dict, *, save_dir: Optional[str] = None,
                   config=config, seed=seed, crop=crop, data_name=data_name,
                   two_stage=bool(trainer_cfg.get("two_stage", False)),
                   disable_bn=bool(trainer_cfg.get("disable_bn", False)),
-                  device_data=bool(trainer_cfg.get("device_data", True)))
+                  device_data=bool(trainer_cfg.get("device_data", True)),
+                  defer_reads=bool(trainer_cfg.get("defer_reads", False)))
 
     if name.startswith("pretrain"):
         cl_cfg = config.get("ContrastiveLoaderParams", {})

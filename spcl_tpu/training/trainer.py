@@ -73,12 +73,21 @@ class Trainer:
                  config: Optional[Dict] = None, seed: int = 10,
                  crop: int = 224, data_name: str = "acdc",
                  two_stage: bool = False, disable_bn: bool = False,
-                 device_data: bool = True):
+                 device_data: bool = True, defer_reads: bool = False):
         # device_data: keep the packed datasets resident in HBM and gather
         # batches by index inside the jitted step (the reference's datasets
         # are all <1GB packed). Per-step H2D traffic drops to an index
         # vector. Set False to stream host batches (arbitrarily large data).
         self._device_data = bool(device_data)
+        # defer_reads: run the WHOLE training without a single device->host
+        # read — metrics stay futures, the val score is computed on device,
+        # and best-checkpoint selection happens in a jitted compare that keeps
+        # the best params in HBM. One bulk drain at the end reconstructs every
+        # epoch's meters/storage. Motivation: minimal host sync is the right
+        # TPU shape anyway, and this environment's device link permanently
+        # degrades dispatch ~60-400x after the first read (CLAUDE.md).
+        # Trade-off: checkpoints are only durable at the end of the run.
+        self._defer_reads = bool(defer_reads)
         self._model = model
         self._labeled_loader = labeled_loader
         self._unlabeled_loader = unlabeled_loader
@@ -432,10 +441,140 @@ class Trainer:
         stats = meters.statistics("eval")
         return stats, float(stats["dice"]["DSC_mean"])
 
+    # ------------------------------------------------------- deferred (zero-read) loop
+    def _dispatch_eval(self, loader: HostLoader):
+        """Dispatch all eval batches; return (stacked_outs_dev, valids_np, scans).
+        No device reads."""
+        sampler = loader.sampler
+        ds = loader.dataset
+        outs, valids, scans = [], [], []
+        for i, local in enumerate(sampler):
+            gidx = np.asarray(ds.to_global(local), np.int32)
+            outs.append(self._eval_step(
+                self._state.params["model"], self._state.batch_stats, gidx))
+            valids.append((gidx >= 0).astype(np.float32))
+            scans.append(sampler.scan_of_batch(i))
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+        return stacked, np.stack(valids), scans
+
+    @staticmethod
+    @jax.jit
+    def _device_val_score(inter, union):
+        """Grouped-eval DSC_mean on device: [n_scans, B, C] sums -> scalar.
+        Matches UniversalDice exactly when each eval batch is one scan."""
+        inter_scan = jnp.sum(inter, axis=1)
+        union_scan = jnp.sum(union, axis=1)
+        dsc = (2.0 * inter_scan + 1e-6) / (union_scan + 1e-6)
+        return jnp.mean(dsc[:, 1:])
+
+    @staticmethod
+    @jax.jit
+    def _update_best(best_score, best_params, best_stats, score, params, stats):
+        better = score > best_score
+        pick = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+            lambda a, b: jnp.where(better, a, b), new, old)
+        return (jnp.where(better, score, best_score),
+                pick(params, best_params), pick(stats, best_stats))
+
+    def _start_training_deferred(self) -> float:
+        assert self._device_data, "defer_reads requires device-resident data"
+        assert hasattr(self._train_step, "epoch_step"), "defer_reads needs epoch-batched steps"
+        records = []
+        best_score = jnp.asarray(-jnp.inf, jnp.float32)
+        # copies: the live state's buffers get donated by the first train step
+        best_params = jax.tree_util.tree_map(jnp.copy, self._state.params["model"])
+        best_stats = jax.tree_util.tree_map(jnp.copy, self._state.batch_stats)
+        start = self._cur_epoch + 1 if self._cur_epoch else 1
+        t_run = time.time()
+        for self._cur_epoch in range(start, self._max_epoch + 1):
+            scalars = self._hook_scalars()
+            host_mats, dev_args = self._epoch_matrices(scalars)
+            t0 = time.time()
+            pending = []
+            for b in range(self._num_batches):
+                self._state, metrics = self._train_step.epoch_step(self._state, *dev_args)
+                pending.append(metrics)
+            train_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pending)
+            val_out, val_valid, val_scans = self._dispatch_eval(self._val_loader)
+            score = self._device_val_score(val_out["inter"], val_out["union"])
+            test_rec = (self._dispatch_eval(self._test_loader)
+                        if self._test_loader is not None else None)
+            best_score, best_params, best_stats = self._update_best(
+                best_score, best_params, best_stats, score,
+                self._state.params["model"], self._state.batch_stats)
+            records.append(dict(epoch=self._cur_epoch, train=train_stacked,
+                                tokens=host_mats[0], val=(val_out, val_valid, val_scans),
+                                test=test_rec, score=score, elapsed=time.time() - t0,
+                                lr=float(self._lr_schedule(
+                                    (self._cur_epoch - 1) * self._num_batches))))
+            for h in self._hooks:
+                h.on_epoch_end()
+        jax.block_until_ready(self._state)
+        logger.info("deferred run: %d epochs dispatched+executed in %.1fs; draining",
+                    self._max_epoch - start + 1, time.time() - t_run)
+
+        # ---- ONE drain of everything, then reconstruct per-epoch observability
+        fetched = jax.device_get([
+            (r["train"], r["val"][0], r["test"][0] if r["test"] else None, r["score"])
+            for r in records])
+        best_params, best_stats, best_score = jax.device_get(
+            (best_params, best_stats, best_score))
+        for r, (train_stacked, val_out, test_out, score) in zip(records, fetched):
+            meters = MeterInterface(default_focus=self.train_meter_focus)
+            with meters.focus_on(self.train_meter_focus):
+                self._configure_train_meters(meters)
+            nb = train_stacked["sup_loss"].shape[0] if "sup_loss" in train_stacked else \
+                train_stacked["reg_loss"].shape[0]
+            for b in range(nb):
+                m = jax.tree_util.tree_map(lambda x: x[b], train_stacked)
+                groups, valid = self._groups_and_valid(r["tokens"][b])
+                self._consume_train_metrics(meters, m, groups, {"valid": valid})
+            with meters.focus_on(self.train_meter_focus):
+                meters["lr"].add(r["lr"])
+            train_stats = meters.statistics()
+            train_stats.setdefault(self.train_meter_focus, {})["throughput"] = {
+                "slices_per_sec": self._epoch_slices() / max(r["elapsed"], 1e-9)}
+            val_stats = self._eval_stats_from_stacked(val_out, r["val"][1], r["val"][2])
+            test_stats = (self._eval_stats_from_stacked(test_out, r["test"][1], r["test"][2])
+                          if test_out is not None else {})
+            self._storage.put_epoch(r["epoch"], {**train_stats, "val": val_stats,
+                                                 "test": test_stats})
+            self._writer.add_scalars_from_meter_interface(
+                r["epoch"], **train_stats, val=val_stats, test=test_stats)
+            logger.info("epoch %03d | val DSC %.4f", r["epoch"], float(score))
+        self._storage.flush()
+        self._writer.flush()
+        self._best_score = float(best_score)
+        # best.ckpt: best weights/stats with the final optimizer state (deferred
+        # mode trades per-epoch durability for zero-sync training)
+        final_host = jax.device_get(self._state)
+        best_state = final_host.replace(
+            params={**final_host.params, "model": best_params}, batch_stats=best_stats)
+        meta = self._host_meta()
+        save_checkpoint(str(Path(self._save_dir) / "best.ckpt"), best_state, meta)
+        save_checkpoint(str(Path(self._save_dir) / "last.ckpt"), final_host, meta)
+        logger.info("deferred run done | best val DSC %.4f", self._best_score)
+        from .. import success
+        success(self._save_dir)
+        return self._best_score
+
+    def _eval_stats_from_stacked(self, out, valids, scans) -> Dict:
+        C = self._model.num_classes
+        meters = MeterInterface(default_focus="eval")
+        meters.register_meter("loss", AverageValueMeter())
+        dice = meters.register_meter("dice", UniversalDice(C, report_axises=list(range(1, C))))
+        for b, scan in enumerate(scans):
+            keep = np.asarray(valids[b]).astype(bool)
+            meters["loss"].add(float(out["loss"][b]))
+            dice.add(out["inter"][b][keep], out["union"][b][keep], group_name=scan)
+        return meters.statistics("eval")
+
     # ----------------------------------------------------------------- main loop
     def start_training(self) -> float:
         if not self.__initialized__:
             raise RuntimeError("call init() first")
+        if self._defer_reads:
+            return self._start_training_deferred()
         start = self._cur_epoch + 1 if self._cur_epoch else 1
         profile_dir = (self._config.get("Trainer") or {}).get("profile_dir")
         for self._cur_epoch in range(start, self._max_epoch + 1):
@@ -621,6 +760,7 @@ class AdversarialTrainer(Trainer):
 
     def __init__(self, *, reg_weight: float = 0.01, dis_consider_image: bool = False,
                  discr_lr: float = 1e-4, **kwargs):
+        kwargs["defer_reads"] = False  # two-optimizer loop has no epoch-batched step
         super().__init__(**kwargs)
         self._reg_weight = float(reg_weight)
         self._dis_consider_image = bool(dis_consider_image)
@@ -750,16 +890,78 @@ class _PretrainTrainer(Trainer):
     def start_training(self) -> float:
         if not self.__initialized__:
             raise RuntimeError("call init() first")
+        if self._defer_reads:
+            return self._start_pretrain_deferred()
         start = self._cur_epoch + 1 if self._cur_epoch else 1
         for self._cur_epoch in range(start, self._max_epoch + 1):
             train_stats = self._run_train_epoch()
-            self.save_to("last.ckpt")
+            save_every = int((self._config.get("Trainer") or {}).get("save_every", 1))
+            if (self._cur_epoch % max(save_every, 1) == 0
+                    or self._cur_epoch == self._max_epoch):
+                self.save_to("last.ckpt")
             self._storage.put_epoch(self._cur_epoch, train_stats)
             self._storage.flush()
             for h in self._hooks:
                 h.on_epoch_end()
             logger.info("pretrain epoch %03d | reg_loss %.4f", self._cur_epoch,
                         train_stats[self.train_meter_focus]["reg_loss"]["mean"])
+        from .. import success
+        success(self._save_dir)
+        return 0.0
+
+    def _start_pretrain_deferred(self) -> float:
+        """Zero-read pretraining: no eval, metrics drained once at the end."""
+        assert self._device_data and hasattr(self._train_step, "epoch_step")
+        records = []
+        start = self._cur_epoch + 1 if self._cur_epoch else 1
+        t_run = time.time()
+        for self._cur_epoch in range(start, self._max_epoch + 1):
+            scalars = self._hook_scalars()
+            mat = self._index_matrix(self._contrastive_loader)
+            dev_mat, dev_scalars = jax.device_put((mat, scalars))
+            t0 = time.time()
+            pending = []
+            for b in range(self._num_batches):
+                self._state, metrics = self._train_step.epoch_step(
+                    self._state, dev_mat, dev_scalars)
+                pending.append(metrics)
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pending)
+            records.append(dict(epoch=self._cur_epoch, train=stacked,
+                                n_slices=2 * mat.shape[1] * self._num_batches,
+                                elapsed=time.time() - t0,
+                                lr=float(self._lr_schedule(
+                                    (self._cur_epoch - 1) * self._num_batches))))
+            for h in self._hooks:
+                h.on_epoch_end()
+        jax.block_until_ready(self._state)
+        logger.info("deferred pretrain: %d epochs in %.1fs; draining",
+                    self._max_epoch - start + 1, time.time() - t_run)
+        fetched = jax.device_get([r["train"] for r in records])
+        for r, stacked in zip(records, fetched):
+            meters = MeterInterface(default_focus=self.train_meter_focus)
+            with meters.focus_on(self.train_meter_focus):
+                meters.register_meter("lr", AverageValueMeter())
+                meters.register_meter("reg_loss", AverageValueMeter())
+            nb = stacked["reg_loss"].shape[0]
+            for b in range(nb):
+                with meters.focus_on(self.train_meter_focus):
+                    meters["reg_loss"].add(float(stacked["reg_loss"][b]))
+                for name, hm in stacked.get("hooks", {}).items():
+                    with meters.focus_on(name):
+                        for k, v in hm.items():
+                            if k not in meters:
+                                meters.register_meter(k, AverageValueMeter())
+                            meters[k].add(float(v[b]))
+            with meters.focus_on(self.train_meter_focus):
+                meters["lr"].add(r["lr"])
+            stats = meters.statistics()
+            stats.setdefault(self.train_meter_focus, {})["throughput"] = {
+                "slices_per_sec": r["n_slices"] / max(r["elapsed"], 1e-9)}
+            self._storage.put_epoch(r["epoch"], stats)
+            logger.info("pretrain epoch %03d | reg_loss %.4f", r["epoch"],
+                        stats[self.train_meter_focus]["reg_loss"]["mean"])
+        self._storage.flush()
+        self.save_to("last.ckpt")
         from .. import success
         success(self._save_dir)
         return 0.0

@@ -1,0 +1,105 @@
+"""Zero-read training mode: no device->host reads until the final drain;
+device-side val scoring and best-checkpoint selection."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from spcl_tpu.data import get_data, synthetic_dataset
+from spcl_tpu.data.augment import AugmentPolicy
+from spcl_tpu.hooks import ConsistencyTrainerHook, SelfPacedINFONCEHook
+from spcl_tpu.models import UNet
+from spcl_tpu.training import FineTuneTrainer, SemiTrainer, PretrainEncoderTrainer
+from spcl_tpu.data import create_contrastive_loader
+
+CANVAS, CROP = 64, 48
+CONFIG = {"Optim": {"name": "adam", "lr": 1e-3}, "Trainer": {"save_every": 100}}
+
+_TRA = synthetic_dataset("acdc", num_scans=8, slices_per_scan=(6, 8), canvas=CANVAS, seed=0)
+_TEST = synthetic_dataset("acdc", num_scans=4, canvas=CANVAS, seed=1, mode="val")
+
+
+class _FT(FineTuneTrainer):
+    @property
+    def train_policy(self):
+        return AugmentPolicy(crop=CROP, rot_degrees=10.0)
+
+
+class _Semi(SemiTrainer):
+    @property
+    def train_policy(self):
+        return AugmentPolicy(crop=CROP, rot_degrees=10.0)
+
+
+class _Pre(PretrainEncoderTrainer):
+    @property
+    def train_policy(self):
+        return AugmentPolicy(crop=CROP, rot_degrees=10.0)
+
+
+def _loaders():
+    return get_data(tra_set=_TRA, test_set=_TEST, labeled_scan_num=4,
+                    labeled_batch_size=3, unlabeled_batch_size=3,
+                    load_predefined_list=False)
+
+
+def _mk(cls, tmp_path, tag, **kw):
+    lab, unlab, val, test = _loaders()
+    return cls(model=UNet(input_dim=1, num_classes=4, max_channel=128),
+               labeled_loader=lab, unlabeled_loader=unlab, val_loader=val,
+               test_loader=test, save_dir=str(tmp_path / tag), max_epoch=3,
+               num_batches=4, config=dict(CONFIG), seed=11, crop=CROP,
+               defer_reads=True, **kw)
+
+
+def test_deferred_finetune(tmp_path):
+    tr = _mk(_FT, tmp_path, "ft")
+    tr.init()
+    best = tr.start_training()
+    assert 0.0 <= best <= 1.0
+    assert (tmp_path / "ft" / "best.ckpt").exists()
+    assert (tmp_path / "ft" / "last.ckpt").exists()
+    df = pd.read_csv(tmp_path / "ft" / "storage.csv")
+    assert len(df) == 3  # every epoch's meters reconstructed
+    assert "val/dice/DSC_mean" in df.columns
+    # device-side score equals the meter-computed score per epoch
+    np.testing.assert_allclose(df["val/dice/DSC_mean"].max(), best, rtol=1e-5)
+
+
+def test_deferred_semi_with_hook(tmp_path):
+    tr = _mk(_Semi, tmp_path, "semi")
+    tr.register_hooks(ConsistencyTrainerHook(weight=0.1))
+    tr.init()
+    best = tr.start_training()
+    assert 0.0 <= best <= 1.0
+    df = pd.read_csv(tmp_path / "semi" / "storage.csv")
+    assert np.isfinite(df["consistency/loss/mean"]).all()
+
+
+def test_deferred_is_deterministic(tmp_path):
+    b1 = _mk(_FT, tmp_path, "d1")
+    b1.init()
+    s1 = b1.start_training()
+    b2 = _mk(_FT, tmp_path, "d2")
+    b2.init()
+    s2 = b2.start_training()
+    assert s1 == s2
+
+
+def test_deferred_pretrain(tmp_path):
+    loader = create_contrastive_loader(_TRA, scan_sample_num=3, seed=0)
+    lab, unlab, val, test = _loaders()
+    hook = SelfPacedINFONCEHook(name="sp", feature_name="Conv5", contrast_on="partition",
+                                begin_value=100.0, end_value=5.0, mode="soft", max_epoch=3)
+    tr = _Pre(model=UNet(input_dim=1, num_classes=4, max_channel=128),
+              labeled_loader=lab, unlabeled_loader=None, val_loader=val,
+              test_loader=None, save_dir=str(tmp_path / "pre"), max_epoch=3,
+              num_batches=4, config=dict(CONFIG), seed=11, crop=CROP,
+              defer_reads=True, contrastive_loader=loader, forward_until="Conv5")
+    tr.register_hooks(hook)
+    tr.init()
+    tr.start_training()
+    assert (tmp_path / "pre" / "last.ckpt").exists()
+    df = pd.read_csv(tmp_path / "pre" / "storage.csv")
+    assert len(df) == 3
+    assert np.isfinite(df["tra/reg_loss/mean"]).all()
+    assert np.isfinite(df["sp/sp_weight/mean"]).all()
