@@ -495,6 +495,8 @@ class Trainer:
                 self._state, metrics = self._train_step.epoch_step(self._state, *dev_args)
                 pending.append(metrics)
             train_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pending)
+            # bound the dispatch queue at one epoch (a wait, not a read)
+            jax.block_until_ready(self._state)
             val_out, val_valid, val_scans = self._dispatch_eval(self._val_loader)
             score = self._device_val_score(val_out["inter"], val_out["union"])
             test_rec = (self._dispatch_eval(self._test_loader)
@@ -926,6 +928,8 @@ class _PretrainTrainer(Trainer):
                     self._state, dev_mat, dev_scalars)
                 pending.append(metrics)
             stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pending)
+            # bound the dispatch queue at one epoch (a wait, not a read)
+            jax.block_until_ready(self._state)
             records.append(dict(epoch=self._cur_epoch, train=stacked,
                                 n_slices=2 * mat.shape[1] * self._num_batches,
                                 elapsed=time.time() - t0,
