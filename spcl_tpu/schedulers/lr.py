@@ -29,4 +29,15 @@ def warmup_cosine_epoch_schedule(*, base_lr: float, multiplier: float, warmup_ma
         cos = eta_min + (peak - eta_min) * 0.5 * (1.0 + jnp.cos(jnp.pi * cos_epoch / t_max))
         return jnp.where(epoch < warmup_max, warm, cos)
 
+    def host(step: int) -> float:
+        """Same formula in pure python — for meters/logging without touching
+        the device (a device read is expensive on some runtimes)."""
+        import math
+        epoch = int(step) // steps_per_epoch
+        if epoch < warmup_max:
+            return base_lr * ((multiplier - 1.0) * epoch / max(warmup_max, 1) + 1.0)
+        cos_epoch = min(max(epoch - warmup_max, 0), t_max)
+        return eta_min + (peak - eta_min) * 0.5 * (1.0 + math.cos(math.pi * cos_epoch / t_max))
+
+    schedule.host = host
     return schedule

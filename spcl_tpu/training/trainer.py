@@ -149,6 +149,7 @@ class Trainer:
                 max_epoch=self._max_epoch, steps_per_epoch=self._num_batches)
         else:
             self._lr_schedule = lambda step: jnp.asarray(base_lr, jnp.float32)
+            self._lr_schedule.host = lambda step: base_lr
         self._optimizer = build_optimizer(
             name=optim_cfg.get("name", "RAdam"), lr=self._lr_schedule,
             weight_decay=float(optim_cfg.get("weight_decay", 0.0)))
@@ -311,11 +312,15 @@ class Trainer:
             groups, valid = self._groups_and_valid(token)
             self._consume_train_metrics(meters, metrics, groups, {"valid": valid})
         with meters.focus_on(self.train_meter_focus):
-            meters["lr"].add(float(self._lr_schedule(int(self._state.step) - 1)))
+            meters["lr"].add(self._host_lr())
         stats = meters.statistics()
         stats.setdefault(self.train_meter_focus, {})["throughput"] = {
             "slices_per_sec": self._epoch_slices() / max(elapsed, 1e-9)}
         return stats
+
+    def _host_lr(self) -> float:
+        step = max((self._cur_epoch - 1), 0) * self._num_batches
+        return float(self._lr_schedule.host(step))
 
     def _index_matrix(self, loader) -> np.ndarray:
         ds = loader.dataset
@@ -507,20 +512,35 @@ class Trainer:
             records.append(dict(epoch=self._cur_epoch, train=train_stacked,
                                 tokens=host_mats[0], val=(val_out, val_valid, val_scans),
                                 test=test_rec, score=score, elapsed=time.time() - t0,
-                                lr=float(self._lr_schedule(
-                                    (self._cur_epoch - 1) * self._num_batches))))
+                                lr=self._host_lr()))
             for h in self._hooks:
                 h.on_epoch_end()
         jax.block_until_ready(self._state)
         logger.info("deferred run: %d epochs dispatched+executed in %.1fs; draining",
                     self._max_epoch - start + 1, time.time() - t_run)
 
-        # ---- ONE drain of everything, then reconstruct per-epoch observability
-        fetched = jax.device_get([
-            (r["train"], r["val"][0], r["test"][0] if r["test"] else None, r["score"])
-            for r in records])
-        best_params, best_stats, best_score = jax.device_get(
-            (best_params, best_stats, best_score))
+        # ---- ONE drain of everything, then reconstruct per-epoch observability.
+        # Stack across epochs ON DEVICE first: the device link charges a full
+        # round trip per fetched buffer, so we fetch a handful of big arrays
+        # instead of hundreds of small ones.
+        def stack_epochs(trees):
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+        all_train = stack_epochs([r["train"] for r in records])
+        all_val = stack_epochs([r["val"][0] for r in records])
+        all_test = (stack_epochs([r["test"][0] for r in records])
+                    if records[0]["test"] is not None else None)
+        all_scores = jnp.stack([r["score"] for r in records])
+        all_train, all_val, all_test, all_scores, best_params, best_stats, best_score = \
+            jax.device_get((all_train, all_val, all_test, all_scores,
+                            best_params, best_stats, best_score))
+        fetched = [
+            (jax.tree_util.tree_map(lambda x: x[e], all_train),
+             jax.tree_util.tree_map(lambda x: x[e], all_val),
+             (jax.tree_util.tree_map(lambda x: x[e], all_test)
+              if all_test is not None else None),
+             all_scores[e])
+            for e in range(len(records))]
         for r, (train_stacked, val_out, test_out, score) in zip(records, fetched):
             meters = MeterInterface(default_focus=self.train_meter_focus)
             with meters.focus_on(self.train_meter_focus):
@@ -883,7 +903,7 @@ class _PretrainTrainer(Trainer):
                             meters.register_meter(k, AverageValueMeter())
                         meters[k].add(float(v))
         with meters.focus_on(self.train_meter_focus):
-            meters["lr"].add(float(self._lr_schedule(int(self._state.step) - 1)))
+            meters["lr"].add(self._host_lr())
         stats = meters.statistics()
         stats.setdefault(self.train_meter_focus, {})["throughput"] = {
             "slices_per_sec": n_slices / max(elapsed, 1e-9)}
@@ -933,14 +953,17 @@ class _PretrainTrainer(Trainer):
             records.append(dict(epoch=self._cur_epoch, train=stacked,
                                 n_slices=2 * mat.shape[1] * self._num_batches,
                                 elapsed=time.time() - t0,
-                                lr=float(self._lr_schedule(
-                                    (self._cur_epoch - 1) * self._num_batches))))
+                                lr=self._host_lr()))
             for h in self._hooks:
                 h.on_epoch_end()
         jax.block_until_ready(self._state)
         logger.info("deferred pretrain: %d epochs in %.1fs; draining",
                     self._max_epoch - start + 1, time.time() - t_run)
-        fetched = jax.device_get([r["train"] for r in records])
+        all_train = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[r["train"] for r in records])
+        all_train = jax.device_get(all_train)
+        fetched = [jax.tree_util.tree_map(lambda x: x[e], all_train)
+                   for e in range(len(records))]
         for r, stacked in zip(records, fetched):
             meters = MeterInterface(default_focus=self.train_meter_focus)
             with meters.focus_on(self.train_meter_focus):
