@@ -7,10 +7,15 @@ sweep (60 epochs x 200 batches per labeled ratio) with per-epoch val+test
 evaluation and best checkpointing.
 
 Each phase runs in its OWN process with the zero-read training mode
-(Trainer.defer_reads): the device link drops dispatch into a slow
-synchronous mode after the first device->host read, so each phase defers
-every read to its final drain and exits before paying the penalty.
-Appends the timing table to RESULTS.md.
+(Trainer.defer_reads). Appends the timing table to RESULTS.md.
+
+NOTE (this environment): the device tunnel charges ~0.2s per executed step
+at the first device->host read (journal validation), independent of
+deferral — so the full 52,000-step schedule takes ~3h through the tunnel
+even though the device executes it in under a minute (measured: 16,000
+pretrain steps in 20s before the first read; see RESULTS.md). On a real
+TPU host there is no such read penalty and this script reflects true
+wall-clock.
 """
 import json
 import subprocess
