@@ -28,10 +28,14 @@ WARMUP, TIMED = 10, 200
 
 
 def measure_ours() -> float:
+    """Production path: device-resident dataset (DeviceStore) + epoch-batched
+    steps (the epoch's index matrix uploads once; each step derives its batch
+    and PRNG key on device from state.step — zero per-step H2D traffic)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     from spcl_tpu.data import synthetic_dataset, create_contrastive_loader
+    from spcl_tpu.data.device_store import DeviceStore
     from spcl_tpu.data.augment import ACDC_PRETRAIN
     from spcl_tpu.hooks import SelfPacedINFONCEHook
     from spcl_tpu.models import UNet
@@ -45,6 +49,9 @@ def measure_ours() -> float:
                                 mode="soft", max_epoch=80)
     optimizer = build_optimizer(name="RAdam", lr=5e-7, weight_decay=1e-5)
 
+    ds = synthetic_dataset("acdc", num_scans=SCANS + 2, slices_per_scan=(10, 14),
+                           canvas=CANVAS, seed=0)
+    store = DeviceStore.for_dataset(ds)
     sample = jnp.zeros((2, CROP, CROP, 1), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), sample, train=False, until="Conv5")
     acts_shapes = jax.eval_shape(
@@ -54,32 +61,29 @@ def measure_ours() -> float:
     hook_params = {hook.name: hook.build(jax.random.PRNGKey(1), model, sample_acts)}
     state = create_train_state(model_params=variables["params"],
                                batch_stats=variables.get("batch_stats", {}),
-                               hook_params=hook_params, tx=optimizer)
+                               hook_params=hook_params, tx=optimizer,
+                               base_key=jax.random.PRNGKey(9))
     mask = stage_trainable_mask(variables["params"], stages_from_range(None, "Conv5"))
     step = build_pretrain_step(model, [hook], optimizer, policy=ACDC_PRETRAIN,
-                               total_freedom=True, until="Conv5", grad_mask=mask)
+                               total_freedom=True, until="Conv5", grad_mask=mask,
+                               store=store)
 
-    ds = synthetic_dataset("acdc", num_scans=SCANS + 2, slices_per_scan=(10, 14),
-                           canvas=CANVAS, seed=0)
     loader = create_contrastive_loader(ds, scan_sample_num=SCANS, seed=0)
-    it = iter(loader)
-    batches = [jax.device_put(next(it)) for _ in range(8)]
-    scalars = {hook.name: hook.epoch_scalars(0)}
-    key = jax.random.PRNGKey(3)
+    it = iter(loader.sampler)
+    mat = np.stack([np.asarray(ds.to_global(next(it)), np.int32) for _ in range(200)])
+    dev_mat, dev_scal = jax.device_put((mat, {hook.name: hook.epoch_scalars(0)}))
 
     for i in range(WARMUP):
-        state, metrics = step(state, batches[i % len(batches)],
-                              jax.random.fold_in(key, i), scalars)
+        state, metrics = step.epoch_step(state, dev_mat, dev_scal)
     jax.block_until_ready(state)
     # dispatch latency through the device tunnel is noisy: time WINDOWS of
     # steps and report the best window (steady-state device throughput)
-    window = 25
+    window = 50
     rates = []
     for w in range(TIMED // window):
         t0 = time.perf_counter()
         for i in range(window):
-            state, metrics = step(state, batches[i % len(batches)],
-                                  jax.random.fold_in(key, 100 + w * window + i), scalars)
+            state, metrics = step.epoch_step(state, dev_mat, dev_scal)
         jax.block_until_ready(state)
         rates.append(BATCH * window / (time.perf_counter() - t0))
     assert np.isfinite(float(jax.device_get(metrics["reg_loss"])))
