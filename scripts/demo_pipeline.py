@@ -18,7 +18,7 @@ import main as main_entry
 from spcl_tpu.entry import build_trainer
 from spcl_tpu.utils import config_logger, fix_all_seed
 
-OUT = Path(__file__).parents[1] / "RESULTS.md"
+OUT = Path(__file__).parents[1] / "runs" / "demo" / "summary.md"
 
 BASE = {
     "RandomSeed": 10,
@@ -81,7 +81,8 @@ def main():
                                            "seconds": round(dt2, 1)}
     print("pretrained:", results["finetune_from_pretrained"], flush=True)
 
-    OUT.write_text(f"""# RESULTS — end-to-end pipeline demonstration (synthetic, one TPU v5e chip)
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    OUT.write_text(f"""# Demo summary — end-to-end pipeline (synthetic, one TPU v5e chip)
 
 The paper recipe at reduced scale on the synthetic fixture (real ACDC is
 gdrive-hosted; this environment has no egress). Workload shapes match the
