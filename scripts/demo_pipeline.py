@@ -3,7 +3,7 @@
 
 Runs the paper's two-phase recipe at reduced scale and compares fine-tuning
 from the self-paced contrastive pretrained encoder vs from scratch at a low
-labeled ratio. Writes RESULTS.md. (The real ACDC data is gdrive-hosted and
+labeled ratio. Writes runs/demo/summary.md. (The real ACDC data is gdrive-hosted and
 this environment has no egress; the synthetic fixture preserves the
 scan/partition/cycle structure.)
 """
