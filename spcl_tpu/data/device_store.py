@@ -29,6 +29,11 @@ _STORE_CACHE: Dict[int, "DeviceStore"] = {}
 class DeviceStore:
     def __init__(self, root: SliceDataset):
         assert root.root is root, "build the store on the ROOT dataset"
+        # Pin the root: _STORE_CACHE keys on id(root), which is only stable
+        # while the root object is alive — without this reference a collected
+        # root's id could be reused by a different dataset and silently serve
+        # it the OLD store's arrays.
+        self.root = root
         imgs = root.images if root.images.ndim == 4 else root.images[..., None]
         self.n = imgs.shape[0]
         self.images = jax.device_put(imgs)              # uint8 [N,H,W,C]

@@ -68,8 +68,6 @@ def make_global_supcon_fn(mesh: Mesh, *, axis_name: str = "data",
                           correct_grad: bool = False, use_fused: Optional[bool] = None):
     """Standalone jitted fn(z1, z2, target, valid, gamma) -> (loss, ratio)
     with batch-sharded inputs over `mesh`."""
-    from jax.experimental.shard_map import shard_map
-
     def shard_fn(z1, z2, target, valid, gamma):
         loss, ratio = global_self_paced_supcon(
             z1, z2, target, valid, gamma=gamma, axis_name=axis_name,
@@ -77,9 +75,9 @@ def make_global_supcon_fn(mesh: Mesh, *, axis_name: str = "data",
             correct_grad=correct_grad, use_fused=use_fused)
         return loss, ratio
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name), P()),
         out_specs=(P(), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)

@@ -35,6 +35,7 @@ from ..data.device_store import DeviceStore
 from ..data.loader import HostLoader
 from ..hooks.base import TrainerHook, get_individual_hooks
 from ..meters import AverageValueMeter, MeterInterface, Storage, UniversalDice
+from ..meters.display import meter_display
 from ..models.discriminator import Discriminator
 from ..models.masking import stage_trainable_mask
 from ..models.unet import UNet
@@ -259,7 +260,13 @@ class Trainer:
 
     # ----------------------------------------------------------------- epochs
     def _hook_scalars(self) -> Dict[str, Dict[str, float]]:
-        return {h.name: h.epoch_scalars(self._cur_epoch) for h in self._hooks}
+        # _cur_epoch is 1-based; the reference reads scheduler.value at
+        # internal epoch 0 on the first epoch and steps it afterwards
+        # (semi_seg/hooks/infonce.py:133-136), so epoch e uses get_value(e-1):
+        # epoch 1 == begin_value and get_value(max_epoch) is never reached.
+        # Hooks' on_epoch_end() still steps their internal counter, which
+        # mirrors the same 0-based clock for state_dict parity.
+        return {h.name: h.epoch_scalars(self._cur_epoch - 1) for h in self._hooks}
 
     def _configure_train_meters(self, meters: MeterInterface) -> None:
         C = self._model.num_classes
@@ -516,6 +523,15 @@ class Trainer:
             for h in self._hooks:
                 h.on_epoch_end()
         jax.block_until_ready(self._state)
+        if not records:
+            # resumed at/after max_epoch: nothing trained, nothing to drain —
+            # keep the restored best score and still write a durable last.ckpt
+            final_host = jax.device_get(self._state)
+            save_checkpoint(str(Path(self._save_dir) / "last.ckpt"),
+                            final_host, self._host_meta())
+            from .. import success
+            success(self._save_dir)
+            return self._best_score
         logger.info("deferred run: %d epochs dispatched+executed in %.1fs; draining",
                     self._max_epoch - start + 1, time.time() - t_run)
 
@@ -563,7 +579,8 @@ class Trainer:
                                                  "test": test_stats})
             self._writer.add_scalars_from_meter_interface(
                 r["epoch"], **train_stats, val=val_stats, test=test_stats)
-            logger.info("epoch %03d | val DSC %.4f", r["epoch"], float(score))
+            logger.info("epoch %03d | val DSC %.4f | %s", r["epoch"], float(score),
+                        meter_display(train_stats))
         self._storage.flush()
         self._writer.flush()
         self._best_score = float(best_score)
@@ -631,8 +648,11 @@ class Trainer:
                 self._cur_epoch, **train_stats, val=val_stats, test=test_stats)
             for h in self._hooks:
                 h.on_epoch_end()
-            logger.info("epoch %03d | val DSC %.4f (best %.4f)",
-                        self._cur_epoch, cur_score, self._best_score)
+            # mytqdm parity: one summary line per epoch with every meter
+            # (reference contrastyou/mytqdm/mytqdm.py:55-57)
+            logger.info("epoch %03d | val DSC %.4f (best %.4f) | %s",
+                        self._cur_epoch, cur_score, self._best_score,
+                        meter_display(train_stats))
         self._writer.flush()
         from .. import success
         success(self._save_dir)
@@ -698,63 +718,8 @@ class FineTuneTrainer(Trainer):
     def _train_dispatch(self, batch_l, unl_iter, key, scalars):
         return self._train_step(self._state, batch_l, key, scalars)
 
-    def _index_matrix(self, loader) -> np.ndarray:
-        ds = loader.dataset
-        it = iter(loader.sampler)
-        rows = [np.asarray(ds.to_global(next(it)), np.int32)
-                for _ in range(self._num_batches)]
-        return np.stack(rows)
-
-    def _epoch_matrices(self, scalars):
-        """(host_matrices, device_step_args) for the epoch-batched fast path."""
-        mat_l = self._index_matrix(self._labeled_loader)
-        host = [mat_l]
-        if self.uses_unlabeled and self._unlabeled_loader is not None:
-            mat_u = self._index_matrix(self._unlabeled_loader)
-            host.append(mat_u)
-            dev = jax.device_put((mat_l, mat_u, scalars))
-            return host, dev
-        dev = jax.device_put((mat_l, scalars))
-        return host, dev
-
-    def _train_streams(self):
-        """(labeled, unlabeled) batch streams for one epoch.
-
-        device_data: yield GLOBAL index vectors (the step gathers in HBM);
-        otherwise: host batches with depth-3 device prefetch."""
-        from itertools import islice
-        from ..data.loader import device_prefetch
-
-        if self._device_data:
-            def idx_stream(loader):
-                ds = loader.dataset
-                for local in loader.sampler:
-                    yield np.asarray(ds.to_global(local), np.int32)
-
-            lab = idx_stream(self._labeled_loader)
-            unl = (idx_stream(self._unlabeled_loader)
-                   if self._unlabeled_loader is not None else None)
-            return lab, unl
-        lab = device_prefetch(
-            islice(iter(self._labeled_loader), self._num_batches), depth=3)
-        unl = (device_prefetch(
-            islice(iter(self._unlabeled_loader), self._num_batches), depth=3)
-            if self._unlabeled_loader is not None else None)
-        return lab, unl
-
-    def _group_token(self, batch_l):
-        if self._device_data:
-            return batch_l  # the global index vector (host numpy)
-        return (batch_l["scan_idx"], batch_l["valid"])
-
-    def _groups_and_valid(self, token):
-        if self._device_data:
-            idx = np.asarray(token)
-            root = self._labeled_loader.dataset.root
-            groups = [root.scan_names[i] if i >= 0 else "<pad>" for i in idx]
-            return groups, (idx >= 0).astype(np.float32)
-        scan_idx, valid = jax.device_get(token)
-        return self._labeled_groups({"scan_idx": scan_idx}), valid
+    # stream/index/group plumbing is inherited from Trainer: with
+    # uses_unlabeled=False it naturally degrades to the labeled-only shapes
 
     def _epoch_slices(self) -> int:
         per = getattr(self._labeled_loader.sampler, "_batch_size", 0)
@@ -925,8 +890,8 @@ class _PretrainTrainer(Trainer):
             self._storage.flush()
             for h in self._hooks:
                 h.on_epoch_end()
-            logger.info("pretrain epoch %03d | reg_loss %.4f", self._cur_epoch,
-                        train_stats[self.train_meter_focus]["reg_loss"]["mean"])
+            logger.info("pretrain epoch %03d | %s", self._cur_epoch,
+                        meter_display(train_stats))
         from .. import success
         success(self._save_dir)
         return 0.0
@@ -985,8 +950,7 @@ class _PretrainTrainer(Trainer):
             stats.setdefault(self.train_meter_focus, {})["throughput"] = {
                 "slices_per_sec": r["n_slices"] / max(r["elapsed"], 1e-9)}
             self._storage.put_epoch(r["epoch"], stats)
-            logger.info("pretrain epoch %03d | reg_loss %.4f", r["epoch"],
-                        stats[self.train_meter_focus]["reg_loss"]["mean"])
+            logger.info("pretrain epoch %03d | %s", r["epoch"], meter_display(stats))
         self._storage.flush()
         self.save_to("last.ckpt")
         from .. import success

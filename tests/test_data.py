@@ -100,13 +100,12 @@ def test_split_dataset_deterministic(acdc):
 
 def test_predefined_split():
     ds = synthetic_dataset("acdc", num_scans=8, canvas=32, seed=0)
-    # rename scans to include the predefined one
-    ds.scan_names = [s.replace("patient000", "patient100") for s in ds.scan_names]
-    ds.filenames = [f.replace("patient000", "patient100") for f in ds.filenames]
+    # deterministically rename the first scan to the predefined 1-scan split
+    # id (the synthetic cycle suffix is random, so don't depend on it)
+    first = ds.unique_scans[0]
+    ds.scan_names = [("patient100_00" if s == first else s) for s in ds.scan_names]
+    ds.filenames = [f.replace(first, "patient100_00") for f in ds.filenames]
     ds.unique_scans = sorted(set(ds.scan_names))
-    has_100_00 = "patient100_00" in ds.unique_scans
-    if not has_100_00:
-        pytest.skip("synthetic seed did not produce patient100_00")
     lab, unlab = split_dataset_with_predefined_filenames(ds, "acdc", 1)
     assert lab.get_scan_list() == ["patient100_00"]
 

@@ -49,6 +49,30 @@ def test_ramp_and_linear_exp_schedulers():
     np.testing.assert_allclose(ie.get_value(10), 1.0, rtol=1e-6)
 
 
+def test_trainer_gamma_clock_matches_reference():
+    """The trainer's 1-based epoch loop must feed hooks a 0-based scheduler
+    clock: the reference reads scheduler.value at internal epoch 0 on the
+    first epoch and steps afterwards (semi_seg/hooks/infonce.py:133-136), so
+    epoch 1 uses begin_value and get_value(max_epoch) is never reached."""
+    from spcl_tpu.hooks import SelfPacedINFONCEHook
+    from spcl_tpu.training.trainer import Trainer
+
+    hook = SelfPacedINFONCEHook(name="spinfonce/Conv5/partition",
+                                feature_name="Conv5", contrast_on="partition",
+                                begin_value=1e4, end_value=20, mode="soft",
+                                max_epoch=80)
+
+    class _Clock:  # minimal stand-in exposing what _hook_scalars reads
+        _hooks = [hook]
+        _cur_epoch = 1
+
+    assert Trainer._hook_scalars(_Clock)[hook.name]["gamma"] == 1e4
+    _Clock._cur_epoch = 80
+    got = Trainer._hook_scalars(_Clock)[hook.name]["gamma"]
+    np.testing.assert_allclose(got, hook.scheduler.get_value(79), rtol=0)
+    assert got != hook.scheduler.get_value(80)
+
+
 def test_keychain_deterministic_and_resumable():
     import jax
     a = KeyChain(seed=5)
