@@ -44,7 +44,9 @@ def run_inference(config, save_dir: str, dump_png: bool = False):
         from spcl_tpu.training.steps import _as_float_image, _as_int_label
         img, lab = center_crop(_as_float_image(jnp.asarray(batch["image"])),
                                _as_int_label(jnp.asarray(batch["label"])),
-                               trainer._crop)
+                               trainer._crop,
+                               sizes=jnp.asarray(batch["size"]) if "size" in batch else None,
+                               policy=trainer.val_policy)
         acts = model.apply({"params": trainer.state.params["model"],
                             "batch_stats": trainer.state.batch_stats}, img, train=False)
         pred = np.asarray(jnp.argmax(acts["logits"], axis=-1))

@@ -2,27 +2,40 @@
 
 Replaces the reference's PIL transform zoo + synchronized wrappers
 (contrastyou/augment/pil_augment.py, synchronize.py:75-164) with pure JAX
-functions that run *inside* the jitted train step: one affine warp per view
-(rotation + flips + random crop composed into a single 2x2+offset map,
-bilinear for images / nearest for labels under the SAME PRNG key — the
+functions that run *inside* the jitted train step: resize + rotation + flips
++ random crop composed into a single source-coordinate map (one gather per
+view — bilinear for images / nearest for labels under the SAME PRNG key, the
 key-threading equivalent of the reference's seed-synchronized transforms),
 plus grayscale intensity jitter (brightness/contrast; torch's saturation is
 an identity on single-channel inputs).
+
+Resize (reference semi_seg/augment.py:57,74,86 Resize(224) shortest-side;
+:106,124,136 Resize((256,256)) exact) is a per-sample scale term in the
+source map: packed datasets carry the original slice extents (SliceDataset
+.sizes), the resized frame is computed from them, and the rest of the
+pipeline (rotation/flip/crop) operates in that frame. The (dst+0.5)*scale-0.5
+convention matches PIL/torch bilinear (align_corners=False) and torch
+nearest-exact for labels.
+
+Op order parity: the reference's pretrain policies rotate BEFORE the random
+crop (Resize -> Rotation -> Flips -> Crop) while its finetune ("label")
+policies crop FIRST and rotate the crop (ACDC/mmWHS label: Crop -> Rot30,
+Spleen label: Resize -> Crop -> Rot10 — semi_seg/augment.py:23-34,122-134,
+158-168). `AugmentPolicy.rotate_after_crop` selects the composition.
 
 Two-view semantics (reference synchronize.py:127-164):
 - total_freedom=True  -> independent geometry + intensity per view;
 - total_freedom=False -> SHARED geometry key, independent intensity keys.
 
 Also provides the replayable batch flip used by the semi-supervised step
-(deepclustering2 TensorRandomFlip parity, reference new_epocher.py:112,158-170):
-`flip_params(key, n)` draws per-sample H/V flip decisions once, and
-`apply_flip` replays them on images, logits, or feature maps of any spatial
-resolution.
+(deepclustering2 TensorRandomFlip parity, reference new_epocher.py:112,
+158-170), `apply_cutout` (reference PILCutout, pil_augment.py:38-68) and
+`sobel_process` (reference SobelProcess, pil_augment.py:375-425).
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +45,13 @@ import jax.numpy as jnp
 @dataclass(frozen=True)
 class AugmentPolicy:
     crop: int = 224
+    # None: no resize. int r: torchvision Resize(r) — shortest side -> r,
+    # aspect kept. (h, w): exact resize (Resize((h, w))).
+    resize: Union[None, int, Tuple[int, int]] = None
     rot_degrees: float = 45.0
+    # False: rotate -> flip -> crop (pretrain policies); True: crop -> rotate
+    # (the reference's finetune policies rotate the cropped patch).
+    rotate_after_crop: bool = False
     hflip: bool = True
     vflip: bool = True
     crop_padding: int = 0
@@ -41,72 +60,151 @@ class AugmentPolicy:
     jitter: bool = True
 
 
-# reference semi_seg/augment.py policies
+# reference semi_seg/augment.py policies, op-for-op:
+# ACDC (:6-51): pretrain Rot45+VFlip+HFlip+Crop224 / jitter 0.5-1.5;
+#               label Crop224 -> Rot30; val CenterCrop224.
 ACDC_PRETRAIN = AugmentPolicy(crop=224, rot_degrees=45.0, hflip=True, vflip=True,
                               brightness=(0.5, 1.5), contrast=(0.5, 1.5), jitter=True)
-ACDC_LABEL = AugmentPolicy(crop=224, rot_degrees=30.0, hflip=False, vflip=False, jitter=False)
-PROSTATE_PRETRAIN = AugmentPolicy(crop=224, rot_degrees=10.0, hflip=True, vflip=True,
-                                  crop_padding=20, brightness=(0.9, 1.1),
-                                  contrast=(0.9, 1.1), jitter=True)
-PROSTATE_LABEL = AugmentPolicy(crop=224, rot_degrees=0.0, hflip=False, vflip=False, jitter=False)
+ACDC_LABEL = AugmentPolicy(crop=224, rot_degrees=30.0, rotate_after_crop=True,
+                           hflip=False, vflip=False, jitter=False)
+ACDC_VAL = AugmentPolicy(crop=224, rot_degrees=0.0, hflip=False, vflip=False, jitter=False)
+# Prostate/ProstateMD (:54-100): pretrain Resize(224)+Rot10+Flips+Crop(224,pad=20)
+# / jitter 0.9-1.1; label Resize(224)+Crop224; val Resize(224).
+PROSTATE_PRETRAIN = AugmentPolicy(crop=224, resize=224, rot_degrees=10.0,
+                                  hflip=True, vflip=True, crop_padding=20,
+                                  brightness=(0.9, 1.1), contrast=(0.9, 1.1), jitter=True)
+PROSTATE_LABEL = AugmentPolicy(crop=224, resize=224, rot_degrees=0.0,
+                               hflip=False, vflip=False, jitter=False)
+# val needs a static output shape: Resize(224) on the (square-packed) slices
+# equals the exact (224, 224) resize.
+PROSTATE_VAL = AugmentPolicy(crop=224, resize=(224, 224), rot_degrees=0.0,
+                             hflip=False, vflip=False, jitter=False)
+# Spleen (:103-137): pretrain Resize((256,256))+Rot10+Flips+Crop(256,pad=20)
+# / jitter 0.9-1.1; label Resize((256,256))+Crop(256,pad=20) -> Rot10;
+# val Resize((256,256)).
+SPLEEN_PRETRAIN = AugmentPolicy(crop=256, resize=(256, 256), rot_degrees=10.0,
+                                hflip=True, vflip=True, crop_padding=20,
+                                brightness=(0.9, 1.1), contrast=(0.9, 1.1), jitter=True)
+SPLEEN_LABEL = AugmentPolicy(crop=256, resize=(256, 256), rot_degrees=10.0,
+                             rotate_after_crop=True, crop_padding=20,
+                             hflip=False, vflip=False, jitter=False)
+SPLEEN_VAL = AugmentPolicy(crop=256, resize=(256, 256), rot_degrees=0.0,
+                           hflip=False, vflip=False, jitter=False)
 
+# dataset -> transform-class mapping per reference semi_seg/data/creator.py:17-19
+# (mmWHS uses the ACDC transforms; prostate_md uses the Prostate ones).
 POLICY_ZOO = {
-    "acdc": {"pretrain": ACDC_PRETRAIN, "label": ACDC_LABEL},
-    "prostate": {"pretrain": PROSTATE_PRETRAIN, "label": PROSTATE_LABEL},
-    "prostate_md": {"pretrain": PROSTATE_PRETRAIN, "label": PROSTATE_LABEL},
-    "mmwhsct": {"pretrain": ACDC_PRETRAIN, "label": ACDC_LABEL},
-    "mmwhsmr": {"pretrain": ACDC_PRETRAIN, "label": ACDC_LABEL},
-    "spleen": {"pretrain": ACDC_PRETRAIN, "label": ACDC_LABEL},
+    "acdc": {"pretrain": ACDC_PRETRAIN, "label": ACDC_LABEL, "val": ACDC_VAL},
+    "prostate": {"pretrain": PROSTATE_PRETRAIN, "label": PROSTATE_LABEL, "val": PROSTATE_VAL},
+    "prostate_md": {"pretrain": PROSTATE_PRETRAIN, "label": PROSTATE_LABEL, "val": PROSTATE_VAL},
+    "mmwhsct": {"pretrain": ACDC_PRETRAIN, "label": ACDC_LABEL, "val": ACDC_VAL},
+    "mmwhsmr": {"pretrain": ACDC_PRETRAIN, "label": ACDC_LABEL, "val": ACDC_VAL},
+    "spleen": {"pretrain": SPLEEN_PRETRAIN, "label": SPLEEN_LABEL, "val": SPLEEN_VAL},
 }
 
 
 # --------------------------------------------------------------------------- geometry
+def _orig_dims(batch: int, in_size: int, sizes: Optional[jnp.ndarray]):
+    """Per-sample original slice extents (float). sizes [B,2] = stored (h,w)
+    of each slice inside its square canvas; None means full canvas."""
+    if sizes is None:
+        full = jnp.full((batch,), float(in_size), jnp.float32)
+        return full, full
+    s = sizes.astype(jnp.float32)
+    return s[:, 0], s[:, 1]
+
+
+def _frame_dims(policy: AugmentPolicy, oh: jnp.ndarray, ow: jnp.ndarray):
+    """Resized-frame extents. PIL Resize(int) scales the shortest side."""
+    if policy.resize is None:
+        return oh, ow
+    if isinstance(policy.resize, int):
+        s = float(policy.resize) / jnp.minimum(oh, ow)
+        return jnp.round(oh * s), jnp.round(ow * s)
+    rh, rw = policy.resize
+    return jnp.full_like(oh, float(rh)), jnp.full_like(ow, float(rw))
+
+
 def sample_geometric(key: jax.Array, batch: int, policy: AugmentPolicy,
-                     in_size: int) -> Dict[str, jnp.ndarray]:
+                     in_size: int, sizes: Optional[jnp.ndarray] = None
+                     ) -> Dict[str, jnp.ndarray]:
     k_rot, k_h, k_v, k_cy, k_cx = jax.random.split(key, 5)
     theta = jax.random.uniform(k_rot, (batch,), minval=-policy.rot_degrees,
                                maxval=policy.rot_degrees) * (jnp.pi / 180.0)
     fh = (jax.random.uniform(k_h, (batch,)) < 0.5) & policy.hflip
     fv = (jax.random.uniform(k_v, (batch,)) < 0.5) & policy.vflip
-    span = in_size + 2 * policy.crop_padding - policy.crop
-    span = max(span, 0)
-    cy = jax.random.randint(k_cy, (batch,), 0, span + 1) - policy.crop_padding
-    cx = jax.random.randint(k_cx, (batch,), 0, span + 1) - policy.crop_padding
-    return {"theta": theta, "fh": fh, "fv": fv, "cy": cy, "cx": cx}
+    oh, ow = _orig_dims(batch, in_size, sizes)
+    rh, rw = _frame_dims(policy, oh, ow)
+    # RandomCrop(crop, padding=p): pad every side by p, offset ~ U[0, dim+2p-crop]
+    # (coordinate in the unpadded frame = offset - p). Frames smaller than the
+    # crop (a span the reference would reject) center-pad instead.
+    pad = float(policy.crop_padding)
+
+    def _offset(k, dim):
+        span = dim + 2.0 * pad - policy.crop
+        u = jax.random.uniform(k, (batch,))
+        rand = jnp.floor(u * (span + 1.0)) - pad
+        return jnp.where(span >= 0, rand, jnp.floor((dim - policy.crop) / 2.0))
+
+    return {"theta": theta, "fh": fh, "fv": fv,
+            "cy": _offset(k_cy, rh), "cx": _offset(k_cx, rw),
+            "rh": rh, "rw": rw, "oh": oh, "ow": ow}
 
 
-def center_geometric(batch: int, policy: AugmentPolicy, in_size: int) -> Dict[str, jnp.ndarray]:
-    """Deterministic center-crop params (val transform parity)."""
-    off = (in_size - policy.crop) // 2
+def center_geometric(batch: int, policy: AugmentPolicy, in_size: int,
+                     sizes: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+    """Deterministic params (val transform parity): plain resize for resize
+    policies, center crop of the original extent otherwise."""
+    oh, ow = _orig_dims(batch, in_size, sizes)
+    rh, rw = _frame_dims(policy, oh, ow)
     z = jnp.zeros((batch,))
-    return {"theta": z, "fh": jnp.zeros((batch,), bool), "fv": jnp.zeros((batch,), bool),
-            "cy": jnp.full((batch,), off, jnp.int32), "cx": jnp.full((batch,), off, jnp.int32)}
+    f = jnp.zeros((batch,), bool)
+    return {"theta": z, "fh": f, "fv": f,
+            "cy": jnp.floor((rh - policy.crop) / 2.0),
+            "cx": jnp.floor((rw - policy.crop) / 2.0),
+            "rh": rh, "rw": rw, "oh": oh, "ow": ow}
 
 
-def _source_coords(params: Dict[str, jnp.ndarray], crop: int, in_size: int):
-    """Output-pixel -> input-pixel coordinates, composing crop ∘ flip ∘ rotate
-    (inverse of the torch op order rotate -> flip -> crop)."""
+def _source_coords(params: Dict[str, jnp.ndarray], crop: int, in_size: int,
+                   rotate_after_crop: bool = False):
+    """Output-pixel -> canvas-pixel coordinates, composing the inverse of
+    resize -> rotate -> flip -> crop (or resize -> flip -> crop -> rotate
+    when rotate_after_crop)."""
     ys = jnp.arange(crop, dtype=jnp.float32)
     xs = jnp.arange(crop, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")  # [crop, crop]
 
-    def per_sample(theta, fh, fv, cy, cx):
-        # undo crop: coords in the (rotated+flipped) full frame
-        y = gy + cy.astype(jnp.float32)
-        x = gx + cx.astype(jnp.float32)
-        # undo flips (about the full-frame center)
-        c = (in_size - 1) / 2.0
-        y = jnp.where(fv, (in_size - 1) - y, y)
-        x = jnp.where(fh, (in_size - 1) - x, x)
-        # undo rotation about center: source = R(-theta) . (p - c) + c
+    def per_sample(theta, fh, fv, cy, cx, rh, rw, oh, ow):
         cos, sin = jnp.cos(theta), jnp.sin(theta)
-        dy, dx = y - c, x - c
-        sy = cos * dy + sin * dx + c
-        sx = -sin * dy + cos * dx + c
-        return sy, sx
+        if rotate_after_crop:
+            # undo rotation about the CROP center, then undo crop + flips
+            c2 = (crop - 1) / 2.0
+            dy, dx = gy - c2, gx - c2
+            y = cos * dy + sin * dx + c2 + cy
+            x = -sin * dy + cos * dx + c2 + cx
+            y = jnp.where(fv, (rh - 1.0) - y, y)
+            x = jnp.where(fh, (rw - 1.0) - x, x)
+        else:
+            # undo crop, flips (about the frame center), then rotation
+            y = gy + cy
+            x = gx + cx
+            y = jnp.where(fv, (rh - 1.0) - y, y)
+            x = jnp.where(fh, (rw - 1.0) - x, x)
+            ccy, ccx = (rh - 1.0) / 2.0, (rw - 1.0) / 2.0
+            dy, dx = y - ccy, x - ccx
+            y = cos * dy + sin * dx + ccy
+            x = -sin * dy + cos * dx + ccx
+        # undo resize: frame [rh, rw] -> original extent [oh, ow]
+        # ((dst+0.5)*scale-0.5: PIL / torch align_corners=False convention)
+        sy = (y + 0.5) * (oh / rh) - 0.5
+        sx = (x + 0.5) * (ow / rw) - 0.5
+        # original extent sits centered in the canvas (packing._fit_canvas)
+        return (sy + jnp.floor((in_size - oh) / 2.0),
+                sx + jnp.floor((in_size - ow) / 2.0))
 
     return jax.vmap(per_sample)(params["theta"], params["fh"], params["fv"],
-                                params["cy"], params["cx"])  # [B, crop, crop] x2
+                                params["cy"], params["cx"], params["rh"],
+                                params["rw"], params["oh"], params["ow"])
 
 
 def _gather_bilinear(img: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray) -> jnp.ndarray:
@@ -134,20 +232,24 @@ def _gather_bilinear(img: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray) -> jnp.
 
 
 def _gather_nearest(lab: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray) -> jnp.ndarray:
-    """lab [H, W] int; nearest-neighbor with zero fill outside."""
+    """lab [H, W] int; nearest-neighbor with zero fill outside.
+
+    floor(s + 0.5) == floor((dst+0.5)*scale) under the resize convention
+    above — exactly PIL NEAREST / torch nearest-exact index selection."""
     h, w = lab.shape
-    yi = jnp.round(sy).astype(jnp.int32)
-    xi = jnp.round(sx).astype(jnp.int32)
+    yi = jnp.floor(sy + 0.5).astype(jnp.int32)
+    xi = jnp.floor(sx + 0.5).astype(jnp.int32)
     inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
     v = lab[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
     return jnp.where(inside, v, 0)
 
 
 def apply_geometric(image: jnp.ndarray, label: Optional[jnp.ndarray],
-                    params: Dict[str, jnp.ndarray], crop: int):
+                    params: Dict[str, jnp.ndarray], crop: int,
+                    rotate_after_crop: bool = False):
     """image [B,H,W,C] bilinear; label [B,H,W] nearest — same params."""
     in_size = image.shape[1]
-    sy, sx = _source_coords(params, crop, in_size)
+    sy, sx = _source_coords(params, crop, in_size, rotate_after_crop)
     out_img = jax.vmap(_gather_bilinear)(image, sy, sx)
     out_lab = None if label is None else jax.vmap(_gather_nearest)(label, sy, sx)
     return out_img, out_lab
@@ -171,32 +273,41 @@ def apply_jitter(key: jax.Array, image: jnp.ndarray, policy: AugmentPolicy) -> j
 
 # --------------------------------------------------------------------------- composed views
 def augment_once(key: jax.Array, image: jnp.ndarray, label: Optional[jnp.ndarray],
-                 policy: AugmentPolicy):
+                 policy: AugmentPolicy, sizes: Optional[jnp.ndarray] = None):
     kg, kj = jax.random.split(key)
-    params = sample_geometric(kg, image.shape[0], policy, image.shape[1])
-    img, lab = apply_geometric(image, label, params, policy.crop)
+    params = sample_geometric(kg, image.shape[0], policy, image.shape[1], sizes)
+    img, lab = apply_geometric(image, label, params, policy.crop,
+                               policy.rotate_after_crop)
     img = apply_jitter(kj, img, policy)
     return img, lab
 
 
 def augment_twice(key: jax.Array, image: jnp.ndarray, label: Optional[jnp.ndarray],
-                  policy: AugmentPolicy, total_freedom: bool = True):
+                  policy: AugmentPolicy, total_freedom: bool = True,
+                  sizes: Optional[jnp.ndarray] = None):
     """Two augmented views (reference SequentialWrapperTwice semantics)."""
     kg1, kg2, kj1, kj2 = jax.random.split(key, 4)
     b, s = image.shape[0], image.shape[1]
-    p1 = sample_geometric(kg1, b, policy, s)
-    p2 = sample_geometric(kg2, b, policy, s) if total_freedom else p1
-    img1, lab1 = apply_geometric(image, label, p1, policy.crop)
-    img2, lab2 = apply_geometric(image, label, p2, policy.crop)
+    p1 = sample_geometric(kg1, b, policy, s, sizes)
+    p2 = sample_geometric(kg2, b, policy, s, sizes) if total_freedom else p1
+    rac = policy.rotate_after_crop
+    img1, lab1 = apply_geometric(image, label, p1, policy.crop, rac)
+    img2, lab2 = apply_geometric(image, label, p2, policy.crop, rac)
     img1 = apply_jitter(kj1, img1, policy)
     img2 = apply_jitter(kj2, img2, policy)
     return (img1, lab1), (img2, lab2)
 
 
-def center_crop(image: jnp.ndarray, label: Optional[jnp.ndarray], crop: int):
-    """Val transform: deterministic center crop (pads if input is smaller)."""
-    params = center_geometric(image.shape[0], AugmentPolicy(crop=crop), image.shape[1])
-    return apply_geometric(image, label, params, crop)
+def center_crop(image: jnp.ndarray, label: Optional[jnp.ndarray], crop: int,
+                sizes: Optional[jnp.ndarray] = None,
+                policy: Optional[AugmentPolicy] = None):
+    """Val transform: deterministic center crop, or plain resize for resize
+    policies (reference val transforms, semi_seg/augment.py:35-37,84-87,135-137).
+    Pads if the frame is smaller than the crop."""
+    if policy is None:
+        policy = AugmentPolicy(crop=crop)
+    params = center_geometric(image.shape[0], policy, image.shape[1], sizes)
+    return apply_geometric(image, label, params, policy.crop)
 
 
 # --------------------------------------------------------------------------- replayable flips
@@ -215,3 +326,43 @@ def apply_flip(x: jnp.ndarray, params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     x = jnp.where(fv, jnp.flip(x, axis=1), x)
     x = jnp.where(fh, jnp.flip(x, axis=2), x)
     return x
+
+
+# --------------------------------------------------------------------------- cutout / sobel
+def apply_cutout(key: jax.Array, image: jnp.ndarray, min_box: int, max_box: int,
+                 pad_value: float = 0.0) -> jnp.ndarray:
+    """PILCutout parity (reference pil_augment.py:38-68): per sample, erase one
+    square box of size ~ U[min_box, max_box] centered uniformly inside the
+    image. image [B, H, W, C]."""
+    b, h, w = image.shape[:3]
+    kb, ky, kx = jax.random.split(key, 3)
+    box = jax.random.randint(kb, (b,), min_box, max_box + 1)
+    half = jnp.floor(box / 2.0).astype(jnp.int32)
+    # np.random.randint(half, dim - half) semantics
+    yc = half + jnp.floor(jax.random.uniform(ky, (b,)) * (h - 2 * half)).astype(jnp.int32)
+    xc = half + jnp.floor(jax.random.uniform(kx, (b,)) * (w - 2 * half)).astype(jnp.int32)
+    gy = jnp.arange(h)[None, :, None]
+    gx = jnp.arange(w)[None, None, :]
+    in_y = (gy >= (yc - half)[:, None, None]) & (gy < (yc + half)[:, None, None])
+    in_x = (gx >= (xc - half)[:, None, None]) & (gx < (xc + half)[:, None, None])
+    hole = (in_y & in_x)[..., None]
+    return jnp.where(hole, jnp.asarray(pad_value, image.dtype), image)
+
+
+_SOBEL_X = jnp.asarray([[1.0, 0.0, -1.0], [2.0, 0.0, -2.0], [1.0, 0.0, -1.0]])
+_SOBEL_Y = jnp.asarray([[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]])
+
+
+def sobel_process(image: jnp.ndarray, include_origin: bool = False) -> jnp.ndarray:
+    """SobelProcess parity (reference pil_augment.py:375-425): x/y gradient
+    maps via the fixed 3x3 Sobel kernels (same-padding conv), stacked on the
+    channel axis; optionally keep the input channels too.
+    image [B, H, W, C] -> [B, H, W, 2] (or [B, H, W, 2+C])."""
+    gray = jnp.mean(image, axis=-1, keepdims=True)  # multi-channel -> average
+    kern = jnp.stack([_SOBEL_X, _SOBEL_Y], axis=-1)[:, :, None, :]  # [3,3,1,2]
+    grads = jax.lax.conv_general_dilated(
+        gray, kern, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if include_origin:
+        return jnp.concatenate([grads, image], axis=-1)
+    return grads

@@ -62,6 +62,11 @@ class SliceDataset:
     images: np.ndarray
     labels: np.ndarray
     filenames: List[str]          # slice stems, e.g. patient100_00_09
+    # [N, 2] int32 original (h, w) of each slice inside its square canvas
+    # (packing stores slices centered, zero-padded); drives the faithful
+    # Resize policies (reference semi_seg/augment.py:57,106). Defaults to
+    # the full canvas (synthetic data is generated at canvas size).
+    sizes: np.ndarray = field(default=None)
     scan_names: List[str] = field(default=None)
     partitions: np.ndarray = field(default=None)   # [N] int32
     cycles: np.ndarray = field(default=None)       # [N] int32 (ACDC ED/ES; zeros otherwise)
@@ -75,6 +80,9 @@ class SliceDataset:
         spec = DATASET_SPECS[self.name]
         n = len(self.filenames)
         assert self.images.shape[0] == n and self.labels.shape[0] == n
+        if self.sizes is None:
+            h, w = self.images.shape[1], self.images.shape[2]
+            self.sizes = np.tile(np.asarray([[h, w]], np.int32), (n, 1))
         if self.scan_names is None:
             self.scan_names = [scan_name_from_stem(f, spec["scan_re"]) for f in self.filenames]
         if self.unique_scans is None:
@@ -151,6 +159,7 @@ class SliceDataset:
             images=self.images[idx],
             labels=self.labels[idx],
             filenames=[self.filenames[i] for i in idx],
+            sizes=self.sizes[idx],
             scan_names=[self.scan_names[i] for i in idx],
             partitions=self.partitions[idx],
             cycles=self.cycles[idx],
@@ -184,6 +193,7 @@ class SliceDataset:
         return {
             "image": imgs,
             "label": self.labels[idx],
+            "size": self.sizes[idx].astype(np.int32),
             "scan_idx": np.where(pad_meta, -1, self.scan_index[idx]).astype(np.int32),
             "patient": np.where(pad_meta, -1, self.patient_index[idx]).astype(np.int32),
             "partition": np.where(pad_meta, -1, self.partitions[idx]).astype(np.int32),

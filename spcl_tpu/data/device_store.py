@@ -38,6 +38,7 @@ class DeviceStore:
         self.n = imgs.shape[0]
         self.images = jax.device_put(imgs)              # uint8 [N,H,W,C]
         self.labels = jax.device_put(root.labels)       # uint8 [N,H,W]
+        self.sizes = jax.device_put(root.sizes.astype(np.int32))  # [N,2]
         self.scan_idx = jax.device_put(root.scan_index.astype(np.int32))
         self.patient = jax.device_put(root.patient_index.astype(np.int32))
         self.partition = jax.device_put(root.partitions.astype(np.int32))
@@ -60,7 +61,7 @@ class DeviceStore:
         them in as program constants, which this backend re-materializes per
         call (measured 25x step slowdown); as arguments the committed device
         buffers are passed by reference."""
-        return {"image": self.images, "label": self.labels,
+        return {"image": self.images, "label": self.labels, "size": self.sizes,
                 "scan_idx": self.scan_idx, "patient": self.patient,
                 "partition": self.partition, "cycle": self.cycle}
 
@@ -81,6 +82,7 @@ def gather_from(arrays: Dict[str, jnp.ndarray], idx: jnp.ndarray) -> Dict[str, j
     return {
         "image": arrays["image"][safe],
         "label": arrays["label"][safe],
+        "size": arrays["size"][safe],
         "scan_idx": jnp.where(pad, -1, arrays["scan_idx"][safe]),
         "patient": jnp.where(pad, -1, arrays["patient"][safe]),
         "partition": jnp.where(pad, -1, arrays["partition"][safe]),

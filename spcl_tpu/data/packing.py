@@ -31,15 +31,18 @@ def _load_png(path: Path) -> np.ndarray:
     return np.asarray(Image.open(path))
 
 
-def _fit_canvas(arr: np.ndarray, canvas: int, is_label: bool) -> np.ndarray:
-    """Center-crop/pad to (canvas, canvas) without resampling (labels stay exact)."""
+def _fit_canvas(arr: np.ndarray, canvas: int, is_label: bool) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Center-pad to (canvas, canvas) without resampling (labels stay exact);
+    crops only when the slice exceeds the canvas (pick a bigger canvas to keep
+    the full extent). Returns (packed, stored (h, w)) — the stored extent
+    drives the on-device Resize policies (augment.AugmentPolicy.resize)."""
     h, w = arr.shape[:2]
     out = np.zeros((canvas, canvas), dtype=arr.dtype)
     ch, cw = min(h, canvas), min(w, canvas)
     src_y, src_x = (h - ch) // 2, (w - cw) // 2
     dst_y, dst_x = (canvas - ch) // 2, (canvas - cw) // 2
     out[dst_y:dst_y + ch, dst_x:dst_x + cw] = arr[src_y:src_y + ch, src_x:src_x + cw]
-    return out
+    return out, (ch, cw)
 
 
 def pack_png_folder(root_dir: str, name: str, mode: str = "train",
@@ -62,15 +65,19 @@ def pack_png_folder(root_dir: str, name: str, mode: str = "train",
                 f"reference datasets (zero egress); place the unpacked "
                 f"{name} data under {root_dir} or use synthetic_dataset().")
     stems = sorted(p.stem for p in img_dirs[0].glob("*.png"))
-    mods = [np.stack([_fit_canvas(_load_png(d / f"{s}.png"), canvas, False) for s in stems])
-            for d in img_dirs]
+    mods, sizes = [], None
+    for d in img_dirs:
+        packed = [_fit_canvas(_load_png(d / f"{s}.png"), canvas, False) for s in stems]
+        mods.append(np.stack([p[0] for p in packed]))
+        sizes = np.asarray([p[1] for p in packed], np.int32)
     images = mods[0] if len(mods) == 1 else np.stack(mods, axis=-1)
     if gt_dir.exists():
-        labels = np.stack([_fit_canvas(_load_png(gt_dir / f"{s}.png"), canvas, True) for s in stems])
+        labels = np.stack([_fit_canvas(_load_png(gt_dir / f"{s}.png"), canvas, True)[0]
+                           for s in stems])
     else:
         labels = np.zeros(images.shape[:3], images.dtype)
     ds = SliceDataset(name=name, images=images.astype(np.uint8),
-                      labels=labels.astype(np.uint8), filenames=stems)
+                      labels=labels.astype(np.uint8), filenames=stems, sizes=sizes)
     if save_path:
         save_packed(ds, save_path)
     return ds
@@ -79,13 +86,14 @@ def pack_png_folder(root_dir: str, name: str, mode: str = "train",
 def save_packed(ds: SliceDataset, path: str) -> None:
     np.savez_compressed(
         path, name=ds.name, images=ds.images, labels=ds.labels,
-        filenames=np.asarray(ds.filenames))
+        filenames=np.asarray(ds.filenames), sizes=ds.sizes)
 
 
 def load_packed(path: str) -> SliceDataset:
     z = np.load(path, allow_pickle=False)
+    sizes = z["sizes"] if "sizes" in z.files else None  # pre-sizes packs
     return SliceDataset(name=str(z["name"]), images=z["images"], labels=z["labels"],
-                        filenames=[str(f) for f in z["filenames"]])
+                        filenames=[str(f) for f in z["filenames"]], sizes=sizes)
 
 
 def synthetic_dataset(name: str = "acdc", num_scans: int = 10,

@@ -99,7 +99,11 @@ def build_trainer(config: Dict, *, save_dir: Optional[str] = None,
         config = dictionary_merge_by_hierachy(LEGACY_TRAINER_PRESETS[name], config)
         name = "semi"
     data_name = data_cfg.get("name", "acdc")
-    crop = int(data_cfg.get("crop", 224))
+    # default crop follows the dataset's reference transforms (spleen trains
+    # at 256, semi_seg/augment.py:103-137; everything else at 224)
+    from ..data.augment import POLICY_ZOO
+    default_crop = POLICY_ZOO.get(data_name, {"val": None})["val"]
+    crop = int(data_cfg.get("crop", default_crop.crop if default_crop else 224))
     seed = int(config.get("RandomSeed", 10))
 
     tra_set, test_set = load_datasets_from_config(config)

@@ -96,7 +96,7 @@ class INFONCEHook(TrainerHook):
             loss, metrics = self._dense_loss(z1, z2, ctx, scalars)
         return loss * self.weight, metrics
 
-    def _dense_loss(self, z1, z2, ctx, scalars):
+    def _dense_points(self, z1, z2, ctx):
         """Decoder stages: pick `num_sampled_points` random locations per image
         from the SAME key for both views (reference :212-218), SimCLR-pair them."""
         n, h, w, d = z1.shape
@@ -112,8 +112,30 @@ class INFONCEHook(TrainerHook):
         s2 = jax.vmap(gather)(z2, ys, xs).reshape(n * p, d)
         valid = jnp.repeat(ctx["valid"], p)
         target = jnp.where(valid > 0, jnp.arange(n * p, dtype=jnp.int32), -1)
-        loss, metrics = self._criterion(s1, s2, target, valid, scalars)
-        return loss, metrics
+        return s1, s2, target, valid
+
+    def _dense_loss(self, z1, z2, ctx, scalars):
+        s1, s2, target, valid = self._dense_points(z1, z2, ctx)
+        return self._criterion(s1, s2, target, valid, scalars)
+
+    # ---- batch-0 diagnostics (reference :185-193: sim/mask figure dumps) ----
+    def _views_and_labels(self, params, ctx):
+        z1, z2 = self._projected_views(params, ctx)
+        if self.is_encoder:
+            return z1, z2, label_from_contrast_on(ctx, self.contrast_on), ctx["valid"]
+        return self._dense_points(z1, z2, ctx)
+
+    def matrices_fn(self, params, ctx, scalars) -> Dict[str, jnp.ndarray]:
+        """Traced: the [2N,2N] diagnostics the reference plots to TensorBoard
+        on batch 0 of each epoch (semi_seg/hooks/infonce.py:185-193). Runs in
+        a separate once-per-epoch probe program (steps.build_matrix_probe) so
+        the hot step never materializes them."""
+        z1, z2, target, valid = self._views_and_labels(params, ctx)
+        _, aux = supcon_loss(z1, z2, target=target, valid=valid,
+                             temperature=self.temperature, return_matrices=True)
+        return {"sim_logits": aux.sim_logits,
+                "sim_exp": jnp.exp(aux.sim_logits),
+                "pos_mask": aux.pos_mask}
 
 
 class SelfPacedINFONCEHook(INFONCEHook):
@@ -152,6 +174,18 @@ class SelfPacedINFONCEHook(INFONCEHook):
                 correct_grad=self.correct_grad)
             ratio = aux.downgrade_ratio
         return loss, {"loss": loss, "sp_weight": ratio, "age_param": gamma}
+
+    def matrices_fn(self, params, ctx, scalars) -> Dict[str, jnp.ndarray]:
+        """Adds the self-paced weight mask (reference :263-266 plots sp_mask)."""
+        z1, z2, target, valid = self._views_and_labels(params, ctx)
+        _, aux = self_paced_supcon_loss(
+            z1, z2, target=target, valid=valid, gamma=scalars["gamma"],
+            temperature=self.temperature, weight_update=self.mode,
+            correct_grad=self.correct_grad, return_matrices=True)
+        return {"sim_logits": aux.sim_logits,
+                "sim_exp": jnp.exp(aux.sim_logits),
+                "pos_mask": aux.pos_mask,
+                "sp_mask": aux.sp_mask}
 
     def state_dict(self):
         return {"scheduler": self.scheduler.state_dict()}

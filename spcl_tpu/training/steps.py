@@ -100,15 +100,18 @@ def _ema_after_step(state: TrainState, new_params, alpha_max: float):
 
 # =============================================================================== eval
 def build_eval_step(model, *, num_classes: int, crop: int,
-                    store: Optional[DeviceStore] = None) -> Callable:
+                    store: Optional[DeviceStore] = None,
+                    val_policy: Optional[AugmentPolicy] = None) -> Callable:
     """Per-scan eval step (reference EvalEpocher, new_epocher.py:56-97):
-    center crop -> forward -> masked CE + per-slice dice stats."""
+    val transform (center crop, or plain resize for the resize-based
+    datasets) -> forward -> masked CE + per-slice dice stats."""
 
     @jax.jit
     def _eval(params, batch_stats, batch, store_arrays):
         batch = _resolve_batch(store_arrays, batch)
         img, lab = center_crop(_as_float_image(batch["image"]),
-                               _as_int_label(batch["label"]), crop)
+                               _as_int_label(batch["label"]), crop,
+                               sizes=batch.get("size"), policy=val_policy)
         acts, _ = _apply_model(model, params, batch_stats, img, train=False)
         logits = acts["logits"]
         onehot = class2one_hot(lab, num_classes)
@@ -142,9 +145,11 @@ def build_finetune_step(model, optimizer, *, num_classes: int, policy: AugmentPo
         label = _as_int_label(batch["label"])
         if hooks:
             (img, lab), (img2, lab2) = augment_twice(
-                k_aug, image, label, policy, total_freedom=True)
+                k_aug, image, label, policy, total_freedom=True,
+                sizes=batch.get("size"))
         else:
-            img, lab = augment_once(k_aug, image, label, policy)
+            img, lab = augment_once(k_aug, image, label, policy,
+                                    sizes=batch.get("size"))
         acts, new_stats = _apply_model(model, params["model"], batch_stats, img, train=True)
         logits = acts["logits"]
         onehot = class2one_hot(lab, num_classes)
@@ -224,11 +229,14 @@ def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
         if needs_mixup:
             # mixup consumes both labeled views (reference new_comparable.py:18-86)
             (img_l, lab_l), (img_l2, lab_l2) = augment_twice(
-                k_lab, image_l, label_l, policy, total_freedom=True)
+                k_lab, image_l, label_l, policy, total_freedom=True,
+                sizes=batch_l.get("size"))
         else:
-            img_l, lab_l = augment_once(k_lab, image_l, label_l, policy)
+            img_l, lab_l = augment_once(k_lab, image_l, label_l, policy,
+                                        sizes=batch_l.get("size"))
         (img_u, _), (img_u_cf, _) = augment_twice(
-            k_unl, _as_float_image(batch_u["image"]), None, policy, total_freedom=False)
+            k_unl, _as_float_image(batch_u["image"]), None, policy,
+            total_freedom=False, sizes=batch_u.get("size"))
         n_l, n_u = img_l.shape[0], img_u.shape[0]
         fp = flip_params(k_flip, n_u, threshold=flip_threshold)
         img_u_tf = apply_flip(img_u_cf, fp)
@@ -355,7 +363,8 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
     def loss_fn(params, batch_stats, batch, key, hook_scalars):
         k_aug, k_flip, k_hooks = jax.random.split(key, 3)
         (v1, _), (v2, _) = augment_twice(k_aug, _as_float_image(batch["image"]),
-                                         None, policy, total_freedom=total_freedom)
+                                         None, policy, total_freedom=total_freedom,
+                                         sizes=batch.get("size"))
         n = v1.shape[0]
         fp = flip_params(k_flip, n, threshold=flip_threshold)
         v2 = apply_flip(v2, fp)
@@ -409,6 +418,49 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
     return step
 
 
+# =============================================================================== matrix probe
+def build_matrix_probe(model, hooks: Sequence[TrainerHook], *, policy: AugmentPolicy,
+                       total_freedom: bool, until: Optional[str] = None,
+                       flip_threshold: float = 0.8,
+                       store: Optional[DeviceStore] = None) -> Optional[Callable]:
+    """Once-per-epoch diagnostics program: recompute batch 0's contrastive
+    matrices (sim logits / exp, pos mask, sp mask) for every hook exposing
+    `matrices_fn` — the reference plots these to TensorBoard on the first
+    batch of each epoch (semi_seg/hooks/infonce.py:185-193,263-266). Kept out
+    of the hot step so the [2N,2N] tensors only exist in this tiny program.
+    Returns None when no registered hook produces matrices."""
+    hooks = tuple(h for h in hooks if hasattr(h, "matrices_fn"))
+    if not hooks:
+        return None
+
+    @jax.jit
+    def _probe(params, batch_stats, batch, key, hook_scalars, store_arrays):
+        batch = _resolve_batch(store_arrays, batch)
+        k_aug, k_flip, k_hooks = jax.random.split(key, 3)
+        (v1, _), (v2, _) = augment_twice(k_aug, _as_float_image(batch["image"]),
+                                         None, policy, total_freedom=total_freedom,
+                                         sizes=batch.get("size"))
+        n = v1.shape[0]
+        fp = flip_params(k_flip, n, threshold=flip_threshold)
+        v2 = apply_flip(v2, fp)
+        acts = model.apply({"params": params["model"], "batch_stats": batch_stats},
+                           jnp.concatenate([v1, v2], axis=0), train=False, until=until)
+        ctx = {"acts": acts, "n_unl": n, "flip": fp,
+               "partition": batch["partition"], "patient": batch["patient"],
+               "cycle": batch["cycle"], "scan_idx": batch["scan_idx"],
+               "valid": batch["valid"], "key": k_hooks}
+        return {h.name: h.matrices_fn(params["hooks"].get(h.name), ctx,
+                                      hook_scalars.get(h.name, {}))
+                for h in hooks}
+
+    arrays = store.arrays if store is not None else None
+
+    def probe(params, batch_stats, batch, key, hook_scalars):
+        return _probe(params, batch_stats, batch, key, hook_scalars, arrays)
+
+    return probe
+
+
 # =============================================================================== adversarial
 def build_adversarial_step(model, discr, optimizer, discr_optimizer, *,
                            num_classes: int, policy: AugmentPolicy,
@@ -421,8 +473,10 @@ def build_adversarial_step(model, discr, optimizer, discr_optimizer, *,
     def gen_loss_fn(params, batch_stats, discr_params, batch_l, batch_u, key):
         k_l, k_u = jax.random.split(key)
         img_l, lab_l = augment_once(k_l, _as_float_image(batch_l["image"]),
-                                    _as_int_label(batch_l["label"]), policy)
-        img_u, _ = augment_once(k_u, _as_float_image(batch_u["image"]), None, policy)
+                                    _as_int_label(batch_l["label"]), policy,
+                                    sizes=batch_l.get("size"))
+        img_u, _ = augment_once(k_u, _as_float_image(batch_u["image"]), None, policy,
+                                sizes=batch_u.get("size"))
         acts_l, stats1 = _apply_model(model, params["model"], batch_stats, img_l, train=True)
         logits_l = acts_l["logits"]
         onehot_l = class2one_hot(lab_l, num_classes)

@@ -125,13 +125,25 @@ class Trainer:
         self._trainable_stages = list(stages)
 
     # ----------------------------------------------------------------- init
-    @property
-    def train_policy(self) -> AugmentPolicy:
+    # reference get_data (semi_seg/data/creator.py:25-33): pretrain=True uses
+    # the strong "pretrain" transforms; everything else (semi/finetune/mixup/
+    # adv) trains on the "label" transforms. _PretrainTrainer overrides.
+    policy_kind = "label"
+
+    def _zoo_policy(self, kind: str) -> AugmentPolicy:
         import dataclasses
-        policy = POLICY_ZOO[self._data_name]["pretrain"]
+        policy = POLICY_ZOO[self._data_name][kind]
         if policy.crop != self._crop:
             policy = dataclasses.replace(policy, crop=self._crop)
         return policy
+
+    @property
+    def train_policy(self) -> AugmentPolicy:
+        return self._zoo_policy(self.policy_kind)
+
+    @property
+    def val_policy(self) -> AugmentPolicy:
+        return self._zoo_policy("val")
 
     def _sample_image_shape(self):
         imgs = self._labeled_loader.dataset.images
@@ -232,7 +244,8 @@ class Trainer:
             id(store.images) if store is not None else None,
             _freeze(self._config.get("Optim", {})),
             _freeze(self._config.get("Scheduler", {})),
-            self._max_epoch, self._num_batches, self.train_policy, self._crop,
+            self._max_epoch, self._num_batches, self.train_policy,
+            self.val_policy, self._crop,
             self._two_stage, self._disable_bn,
             tuple(self._trainable_stages) if self._trainable_stages else None,
             tuple(self._hook_cache_key(h) for h in hooks),
@@ -256,7 +269,7 @@ class Trainer:
             store=self._train_store()))
         self._eval_step = self._cached_step("eval", lambda: build_eval_step(
             self._model, num_classes=num_classes, crop=self._crop,
-            store=self._eval_store()))
+            store=self._eval_store(), val_policy=self.val_policy))
 
     # ----------------------------------------------------------------- epochs
     def _hook_scalars(self) -> Dict[str, Dict[str, float]]:
@@ -497,6 +510,12 @@ class Trainer:
         best_params = jax.tree_util.tree_map(jnp.copy, self._state.params["model"])
         best_stats = jax.tree_util.tree_map(jnp.copy, self._state.batch_stats)
         start = self._cur_epoch + 1 if self._cur_epoch else 1
+        # flush_every: periodic durability for deferred runs — every N epochs,
+        # drain the live state once and write last.ckpt so a killed run
+        # resumes from the last flush instead of losing everything (the
+        # reference is durable every epoch, contrastyou/trainer/base.py:106-113;
+        # the default 0 keeps the zero-read fast path).
+        flush_every = int((self._config.get("Trainer") or {}).get("flush_every", 0))
         t_run = time.time()
         for self._cur_epoch in range(start, self._max_epoch + 1):
             scalars = self._hook_scalars()
@@ -522,6 +541,10 @@ class Trainer:
                                 lr=self._host_lr()))
             for h in self._hooks:
                 h.on_epoch_end()
+            if flush_every and self._cur_epoch % flush_every == 0 \
+                    and self._cur_epoch < self._max_epoch:
+                save_checkpoint(str(Path(self._save_dir) / "last.ckpt"),
+                                jax.device_get(self._state), self._host_meta())
         jax.block_until_ready(self._state)
         if not records:
             # resumed at/after max_epoch: nothing trained, nothing to drain —
@@ -713,7 +736,7 @@ class FineTuneTrainer(Trainer):
             store=self._train_store()))
         self._eval_step = self._cached_step("eval", lambda: build_eval_step(
             self._model, num_classes=num_classes, crop=self._crop,
-            store=self._eval_store()))
+            store=self._eval_store(), val_policy=self.val_policy))
 
     def _train_dispatch(self, batch_l, unl_iter, key, scalars):
         return self._train_step(self._state, batch_l, key, scalars)
@@ -739,7 +762,7 @@ class MixUpTrainer(FineTuneTrainer):
             store=self._train_store()))
         self._eval_step = self._cached_step("eval", lambda: build_eval_step(
             self._model, num_classes=num_classes, crop=self._crop,
-            store=self._eval_store()))
+            store=self._eval_store(), val_policy=self.val_policy))
 
 
 class AdversarialTrainer(Trainer):
@@ -773,7 +796,8 @@ class AdversarialTrainer(Trainer):
             reg_weight=self._reg_weight, dis_consider_image=self._dis_consider_image,
             store=self._train_store())
         self._eval_step = build_eval_step(self._model, num_classes=num_classes,
-                                          crop=self._crop, store=self._eval_store())
+                                          crop=self._crop, store=self._eval_store(),
+                                          val_policy=self.val_policy)
 
     def _configure_train_meters(self, meters: MeterInterface) -> None:
         super()._configure_train_meters(meters)
@@ -802,6 +826,7 @@ class _PretrainTrainer(Trainer):
     stream is the contrastive loader; loss = hook regularizers only; no eval;
     `last.ckpt` saved every epoch."""
     total_freedom = True  # encoder pretrain; decoder pretrain overrides
+    policy_kind = "pretrain"  # strong two-view transforms (creator.py:25-33)
 
     def __init__(self, *, contrastive_loader: HostLoader, forward_until: Optional[str] = None,
                  **kwargs):
@@ -820,8 +845,19 @@ class _PretrainTrainer(Trainer):
             self._model, self._hooks, self._optimizer, policy=self.train_policy,
             total_freedom=self.total_freedom, until=self._forward_until,
             grad_mask=self._grad_mask, store=self._train_store())
+        # batch-0 sim/pos/sp-mask TensorBoard dumps (reference
+        # semi_seg/hooks/infonce.py:185-193,263-266). Opt-in: the probe is one
+        # extra XLA program, and compiles are minutes on this relay.
+        self._matrix_probe = None
+        if (self._config.get("Trainer") or {}).get("dump_matrices") and self._device_data:
+            from .steps import build_matrix_probe
+            self._matrix_probe = build_matrix_probe(
+                self._model, self._hooks, policy=self.train_policy,
+                total_freedom=self.total_freedom, until=self._forward_until,
+                store=self._train_store())
         self._eval_step = build_eval_step(self._model, num_classes=self._model.num_classes,
-                                          crop=self._crop, store=self._eval_store())
+                                          crop=self._crop, store=self._eval_store(),
+                                          val_policy=self.val_policy)
 
     def _run_train_epoch(self) -> Dict:
         meters = MeterInterface(default_focus=self.train_meter_focus)
@@ -834,9 +870,17 @@ class _PretrainTrainer(Trainer):
         t0 = time.time()
         n_slices = 0
         pending = []  # drain once at epoch end (no per-step host sync)
+        dumped_matrices = None
         if self._device_data:
             mat = self._index_matrix(self._contrastive_loader)
             dev_mat, dev_scalars = jax.device_put((mat, scalars))
+            if getattr(self, "_matrix_probe", None) is not None:
+                # batch 0 of this epoch: same index row + step key as the step
+                key0 = jax.random.fold_in(
+                    self._state.base_key, (self._cur_epoch - 1) * self._num_batches)
+                dumped_matrices = self._matrix_probe(
+                    self._state.params, self._state.batch_stats,
+                    jnp.asarray(mat[0]), key0, scalars)
             t0 = time.time()
             for b in range(self._num_batches):
                 n_slices += 2 * mat.shape[1]
@@ -869,6 +913,10 @@ class _PretrainTrainer(Trainer):
                         meters[k].add(float(v))
         with meters.focus_on(self.train_meter_focus):
             meters["lr"].add(self._host_lr())
+        if dumped_matrices is not None:
+            for hname, mats in jax.device_get(dumped_matrices).items():
+                for mname, m in mats.items():
+                    self._writer.add_matrix_image(f"{hname}/{mname}", m, self._cur_epoch)
         stats = meters.statistics()
         stats.setdefault(self.train_meter_focus, {})["throughput"] = {
             "slices_per_sec": n_slices / max(elapsed, 1e-9)}
@@ -901,6 +949,7 @@ class _PretrainTrainer(Trainer):
         assert self._device_data and hasattr(self._train_step, "epoch_step")
         records = []
         start = self._cur_epoch + 1 if self._cur_epoch else 1
+        flush_every = int((self._config.get("Trainer") or {}).get("flush_every", 0))
         t_run = time.time()
         for self._cur_epoch in range(start, self._max_epoch + 1):
             scalars = self._hook_scalars()
@@ -921,6 +970,9 @@ class _PretrainTrainer(Trainer):
                                 lr=self._host_lr()))
             for h in self._hooks:
                 h.on_epoch_end()
+            if flush_every and self._cur_epoch % flush_every == 0 \
+                    and self._cur_epoch < self._max_epoch:
+                self.save_to("last.ckpt")
         jax.block_until_ready(self._state)
         logger.info("deferred pretrain: %d epochs in %.1fs; draining",
                     self._max_epoch - start + 1, time.time() - t_run)

@@ -1,0 +1,178 @@
+"""Resize-policy geometry goldens + the faithful non-ACDC policies.
+
+The reference's Prostate/ProstateMD pipelines Resize(224) (shortest side) and
+Spleen Resize((256,256)) before the geometric ops
+(/root/reference/semi_seg/augment.py:57,74,86,106,124,136); its finetune
+("label") policies rotate AFTER the crop (:23-34,122-134,158-168). These
+tests pin the fused on-device warp against torch-computed goldens for both
+interpolations and check the POLICY_ZOO entries op-for-op.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spcl_tpu.data.augment import (
+    ACDC_LABEL, ACDC_VAL, POLICY_ZOO, PROSTATE_LABEL, PROSTATE_PRETRAIN,
+    PROSTATE_VAL, SPLEEN_LABEL, SPLEEN_PRETRAIN, SPLEEN_VAL, AugmentPolicy,
+    apply_cutout, apply_geometric, augment_once, center_crop, sobel_process,
+)
+
+CANVAS = 64
+
+
+def _packed(sizes, seed=0, label=False):
+    """Slices of original extent `sizes` centered in a zero CANVAS canvas."""
+    rng = np.random.default_rng(seed)
+    n = len(sizes)
+    img = np.zeros((n, CANVAS, CANVAS, 1), np.float32)
+    lab = np.zeros((n, CANVAS, CANVAS), np.int32)
+    for b, (h, w) in enumerate(sizes):
+        oy, ox = (CANVAS - h) // 2, (CANVAS - w) // 2
+        img[b, oy:oy + h, ox:ox + w, 0] = rng.random((h, w), np.float32)
+        lab[b, oy:oy + h, ox:ox + w] = rng.integers(0, 250, (h, w))
+    return img, lab
+
+
+def test_exact_resize_matches_torch_bilinear_and_nearest():
+    import torch
+    import torch.nn.functional as F
+    sizes = np.asarray([[48, 40], [64, 64]], np.int32)
+    img, lab = _packed(sizes)
+    pol = AugmentPolicy(crop=32, resize=(32, 32), rot_degrees=0.0,
+                        hflip=False, vflip=False, jitter=False)
+    out, lout = center_crop(jnp.asarray(img), jnp.asarray(lab), 32,
+                            sizes=jnp.asarray(sizes), policy=pol)
+    out, lout = np.asarray(out), np.asarray(lout)
+    for b, (h, w) in enumerate(sizes):
+        oy, ox = (CANVAS - h) // 2, (CANVAS - w) // 2
+        region = torch.from_numpy(img[b, oy:oy + h, ox:ox + w, 0])[None, None]
+        golden = F.interpolate(region, size=(32, 32), mode="bilinear",
+                               align_corners=False)[0, 0].numpy()
+        np.testing.assert_allclose(out[b, :, :, 0], golden, atol=1e-5)
+        lregion = torch.from_numpy(lab[b, oy:oy + h, ox:ox + w].astype(np.float32))[None, None]
+        lgolden = F.interpolate(lregion, size=(32, 32),
+                                mode="nearest-exact")[0, 0].numpy().astype(np.int32)
+        np.testing.assert_array_equal(lout[b], lgolden)
+
+
+def test_shortest_side_resize_keeps_aspect():
+    import torch
+    import torch.nn.functional as F
+    sizes = np.asarray([[48, 40]], np.int32)  # shortest 40 -> 32 => frame (38, 32)
+    img, _ = _packed(sizes)
+    pol = AugmentPolicy(crop=32, resize=32, rot_degrees=0.0,
+                        hflip=False, vflip=False, jitter=False)
+    out, _ = center_crop(jnp.asarray(img), None, 32,
+                         sizes=jnp.asarray(sizes), policy=pol)
+    h, w = sizes[0]
+    oy, ox = (CANVAS - h) // 2, (CANVAS - w) // 2
+    rh, rw = round(h * 32 / w), 32
+    region = torch.from_numpy(img[0, oy:oy + h, ox:ox + w, 0])[None, None]
+    full = F.interpolate(region, size=(rh, rw), mode="bilinear",
+                         align_corners=False)[0, 0].numpy()
+    top = (rh - 32) // 2
+    np.testing.assert_allclose(np.asarray(out)[0, :, :, 0],
+                               full[top:top + 32, :], atol=1e-5)
+
+
+def test_no_resize_no_sizes_is_plain_center_crop():
+    img, lab = _packed(np.asarray([[CANVAS, CANVAS]], np.int32))
+    out, lout = center_crop(jnp.asarray(img), jnp.asarray(lab), 48)
+    off = (CANVAS - 48) // 2
+    np.testing.assert_allclose(np.asarray(out)[0, :, :, 0],
+                               img[0, off:off + 48, off:off + 48, 0], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(lout)[0],
+                                  lab[0, off:off + 48, off:off + 48])
+
+
+def test_rotate_after_crop_90deg_is_rot90_of_crop():
+    """label-policy composition (crop THEN rotate): at theta=90 the output is
+    exactly np.rot90 of the cropped region."""
+    img, lab = _packed(np.asarray([[CANVAS, CANVAS]], np.int32))
+    C = 32
+    cy = cx = 10.0
+    params = {"theta": jnp.asarray([jnp.pi / 2]),
+              "fh": jnp.zeros((1,), bool), "fv": jnp.zeros((1,), bool),
+              "cy": jnp.asarray([cy]), "cx": jnp.asarray([cx]),
+              "rh": jnp.asarray([float(CANVAS)]), "rw": jnp.asarray([float(CANVAS)]),
+              "oh": jnp.asarray([float(CANVAS)]), "ow": jnp.asarray([float(CANVAS)])}
+    out, lout = apply_geometric(jnp.asarray(img), jnp.asarray(lab), params, C,
+                                rotate_after_crop=True)
+    region = img[0, 10:10 + C, 10:10 + C, 0]
+    np.testing.assert_allclose(np.asarray(out)[0, :, :, 0],
+                               np.rot90(region, 1), atol=1e-4)
+    lregion = lab[0, 10:10 + C, 10:10 + C]
+    mismatch = (np.asarray(lout)[0] != np.rot90(lregion, 1)).mean()
+    assert mismatch < 0.01  # nearest ties at the exact-90 boundary only
+
+
+def test_policy_zoo_matches_reference_op_for_op():
+    """reference semi_seg/augment.py + data/creator.py:17-19 mapping."""
+    # prostate & prostate_md share the Prostate transforms
+    for name in ("prostate", "prostate_md"):
+        z = POLICY_ZOO[name]
+        assert z["pretrain"] is PROSTATE_PRETRAIN
+        assert z["label"] is PROSTATE_LABEL
+        assert z["val"] is PROSTATE_VAL
+    assert PROSTATE_PRETRAIN.resize == 224 and PROSTATE_PRETRAIN.crop == 224
+    assert PROSTATE_PRETRAIN.rot_degrees == 10.0 and PROSTATE_PRETRAIN.crop_padding == 20
+    assert PROSTATE_PRETRAIN.brightness == (0.9, 1.1)
+    assert PROSTATE_LABEL.resize == 224 and PROSTATE_LABEL.rot_degrees == 0.0
+    # spleen: Resize((256,256)) everywhere, crop 256, pad 20
+    z = POLICY_ZOO["spleen"]
+    assert z["pretrain"] is SPLEEN_PRETRAIN and z["label"] is SPLEEN_LABEL
+    assert SPLEEN_PRETRAIN.resize == (256, 256) and SPLEEN_PRETRAIN.crop == 256
+    assert SPLEEN_LABEL.rotate_after_crop and SPLEEN_LABEL.rot_degrees == 10.0
+    assert SPLEEN_LABEL.crop_padding == 20
+    assert SPLEEN_VAL.resize == (256, 256)
+    # mmWHS uses the ACDC transforms
+    for name in ("mmwhsct", "mmwhsmr"):
+        z = POLICY_ZOO[name]
+        assert z["pretrain"] is POLICY_ZOO["acdc"]["pretrain"]
+        assert z["label"] is ACDC_LABEL and z["val"] is ACDC_VAL
+    # ACDC label: Crop224 -> Rot30, no flips/jitter
+    assert ACDC_LABEL.rotate_after_crop and ACDC_LABEL.rot_degrees == 30.0
+    assert not ACDC_LABEL.hflip and not ACDC_LABEL.jitter
+
+
+def test_resize_policy_runs_inside_augment_once():
+    sizes = np.asarray([[48, 40], [64, 64], [40, 48]], np.int32)
+    img, lab = _packed(sizes)
+    pol = AugmentPolicy(crop=32, resize=32, rot_degrees=10.0, crop_padding=4,
+                        hflip=True, vflip=True, jitter=True,
+                        brightness=(0.9, 1.1), contrast=(0.9, 1.1))
+    out, lout = augment_once(jax.random.PRNGKey(3), jnp.asarray(img),
+                             jnp.asarray(lab), pol, sizes=jnp.asarray(sizes))
+    assert out.shape == (3, 32, 32, 1) and lout.shape == (3, 32, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    # same key -> identical; different key -> different
+    out2, _ = augment_once(jax.random.PRNGKey(3), jnp.asarray(img),
+                           jnp.asarray(lab), pol, sizes=jnp.asarray(sizes))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_cutout_erases_one_box():
+    img = jnp.ones((2, 32, 32, 1), jnp.float32)
+    out = np.asarray(apply_cutout(jax.random.PRNGKey(0), img, 6, 10))
+    for b in range(2):
+        holes = (out[b, :, :, 0] == 0)
+        n = holes.sum()
+        assert n > 0
+        ys, xs = np.nonzero(holes)
+        bh, bw = ys.max() - ys.min() + 1, xs.max() - xs.min() + 1
+        assert n == bh * bw  # one contiguous rectangle
+        assert 6 <= bh + 1 and bh <= 10
+
+
+def test_sobel_gradients():
+    # vertical edge -> strong x-gradient, zero y-gradient away from the edge
+    img = np.zeros((1, 16, 16, 1), np.float32)
+    img[:, :, 8:, :] = 1.0
+    out = np.asarray(sobel_process(jnp.asarray(img)))
+    assert out.shape == (1, 16, 16, 2)
+    gx, gy = out[0, :, :, 0], out[0, :, :, 1]
+    assert np.abs(gx[8, 7:9]).max() > 1.0
+    assert np.abs(gy[4:12, 4:12]).max() < 1e-6
+    out2 = sobel_process(jnp.asarray(img), include_origin=True)
+    assert out2.shape == (1, 16, 16, 3)
