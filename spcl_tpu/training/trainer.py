@@ -112,7 +112,11 @@ class Trainer:
         self._trainable_stages: Optional[List[str]] = None
         self.__initialized__ = False
         if self._config:
-            yaml_write(self._config, self._save_dir, "config.yaml")
+            # config + git hash per run dir (reference trainer/_io.py:54-60,
+            # contrastyou/__init__.py:10-17)
+            from ..utils.utils import gethash
+            yaml_write({**self._config, "githash": gethash()},
+                       self._save_dir, "config.yaml")
 
     # ----------------------------------------------------------------- registration
     def register_hooks(self, *hooks: TrainerHook) -> None:

@@ -118,6 +118,40 @@ def class_name(obj) -> str:
     return obj.__class__.__name__
 
 
+def gethash(repo_dir: PathLike = None) -> str:
+    """Current git commit hash, or None outside a repo (reference
+    contrastyou/__init__.py:10-17; dumped per run dir for reproducibility)."""
+    import subprocess
+    cwd = str(path2Path(repo_dir or Path(__file__).parents[2]))
+    try:
+        return subprocess.check_output(["git", "rev-parse", "HEAD"], cwd=cwd,
+                                       stderr=subprocess.DEVNULL).decode().strip()
+    except Exception:
+        return None
+
+
+# deepclustering2 type-converter surface (SURVEY §2.10): trivial in JAX but
+# kept so reference-side code ports 1:1.
+def to_numpy(x) -> np.ndarray:
+    import jax
+    return np.asarray(jax.device_get(x))
+
+
+def to_float(x) -> float:
+    return float(np.asarray(x).reshape(-1)[0]) if np.ndim(x) else float(x)
+
+
+def to_device(x, device=None):
+    import jax
+    return jax.device_put(x, device)
+
+
+def item2str(item: Mapping) -> str:
+    """dict -> 'k1:v1, k2:v2' (deepclustering2 tqdm formatting parity;
+    meters/display.py::meter_display is the richer nested version)."""
+    return ", ".join(f"{k}:{v}" for k, v in item.items())
+
+
 def flatten_dict(d: Mapping, parent_key: str = "", sep: str = "/") -> Dict[str, Any]:
     """Flatten a nested dict into `{a/b/c: leaf}` (used for TB scalar trees).
 
