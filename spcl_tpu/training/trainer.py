@@ -138,7 +138,14 @@ class Trainer:
         import dataclasses
         policy = POLICY_ZOO[self._data_name][kind]
         if policy.crop != self._crop:
-            policy = dataclasses.replace(policy, crop=self._crop)
+            # keep resize targets self-similar under a crop override (a
+            # Resize(crop)-style policy stays Resize(new_crop))
+            resize = policy.resize
+            if resize == policy.crop:
+                resize = self._crop
+            elif resize == (policy.crop, policy.crop):
+                resize = (self._crop, self._crop)
+            policy = dataclasses.replace(policy, crop=self._crop, resize=resize)
         return policy
 
     @property

@@ -152,6 +152,46 @@ def test_resize_policy_runs_inside_augment_once():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
+@pytest.mark.parametrize("data_name", ["prostate", "spleen"])
+def test_resize_dataset_entry_smoke(data_name, tmp_path):
+    """Full tiny finetune through the real entry for the resize-based
+    datasets: the label/val resize policies run inside the jitted train and
+    eval steps (targets scale self-similarly under the crop override)."""
+    import main as entry
+    args = [
+        "Data.synthetic=true", "Data.canvas=64", "Data.crop=48",
+        f"Data.name={data_name}",
+        "Data.synthetic_scans=6", "Data.synthetic_test_scans=4",
+        "Arch.max_channel=128", "Trainer.max_epoch=1", "Trainer.num_batches=2",
+        "Optim.lr=1e-4", "LabeledLoader.batch_size=3",
+        "UnlabeledLoader.batch_size=3", "Data.labeled_scan_num=2",
+        "Trainer.name=ft", f"Trainer.save_dir={tmp_path}",
+    ]
+    score = entry.main(args)
+    assert 0.0 <= score <= 1.0
+
+
+def test_crop_override_scales_resize_targets(tmp_path):
+    from spcl_tpu.data import get_data, synthetic_dataset
+    from spcl_tpu.training import FineTuneTrainer
+    from spcl_tpu.models import UNet
+    tra = synthetic_dataset("prostate", num_scans=4, canvas=CANVAS, seed=0)
+    test = synthetic_dataset("prostate", num_scans=3, canvas=CANVAS, seed=1, mode="val")
+    lab, unlab, val, tst = get_data(tra_set=tra, test_set=test, labeled_scan_num=2,
+                                    load_predefined_list=False)
+    tr = FineTuneTrainer(model=UNet(input_dim=1, num_classes=2, max_channel=128),
+                         labeled_loader=lab, unlabeled_loader=unlab, val_loader=val,
+                         test_loader=None, save_dir=str(tmp_path), crop=48,
+                         data_name="prostate")
+    assert tr.train_policy.resize == 48 and tr.train_policy.crop == 48
+    assert tr.val_policy.resize == (48, 48)
+    tr2 = FineTuneTrainer(model=UNet(input_dim=1, num_classes=2, max_channel=128),
+                          labeled_loader=lab, unlabeled_loader=unlab, val_loader=val,
+                          test_loader=None, save_dir=str(tmp_path / "b"), crop=224,
+                          data_name="prostate")
+    assert tr2.train_policy.resize == 224 and tr2.val_policy.resize == (224, 224)
+
+
 def test_cutout_erases_one_box():
     img = jnp.ones((2, 32, 32, 1), jnp.float32)
     out = np.asarray(apply_cutout(jax.random.PRNGKey(0), img, 6, 10))
