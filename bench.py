@@ -86,9 +86,50 @@ def measure_ours() -> float:
             state, metrics = step.epoch_step(state, dev_mat, dev_scal)
         jax.block_until_ready(state)
         rates.append(BATCH * window / (time.perf_counter() - t0))
+    # true device time per step via a profiler trace: dispatch-ack timing on
+    # the axon relay is optimistic (RESULTS.md), so the wall-clock windows
+    # above are an upper bound on throughput; the device plane is ground truth
+    holder = {"state": state}
+
+    def run_one():
+        holder["state"], _ = step.epoch_step(holder["state"], dev_mat, dev_scal)
+        return holder["state"]
+
+    dev_ms = _device_ms_per_step(run_one)
     assert np.isfinite(float(jax.device_get(metrics["reg_loss"])))
     # a "slice" processed = one 2D slice through the pipeline (2 views each)
-    return float(max(rates))
+    return float(max(rates)), dev_ms
+
+
+def _device_ms_per_step(run_one, reps: int = 20):
+    """Trace `reps` dispatches and read the device plane's Steps line."""
+    import glob
+    import shutil
+    import tempfile
+    import jax
+    d = tempfile.mkdtemp(prefix="bench_trace_")
+    try:
+        with jax.profiler.trace(d):
+            out = None
+            for _ in range(reps):
+                out = run_one()
+            jax.block_until_ready(out)
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+        for p in glob.glob(d + "/**/*.xplane.pb", recursive=True):
+            xs = xplane_pb2.XSpace()
+            xs.ParseFromString(open(p, "rb").read())
+            for plane in xs.planes:
+                if plane.name != "/device:TPU:0":
+                    continue
+                for line in plane.lines:
+                    if line.name == "Steps" and line.events:
+                        tot = sum(e.duration_ps for e in line.events) / 1e12
+                        return tot / len(line.events) * 1e3
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return None
 
 
 def analytic_flops_per_step() -> float:
@@ -194,28 +235,35 @@ def cached_baseline() -> float:
 
 
 def main():
-    ours = measure_ours()
+    ours, dev_ms = measure_ours()
     try:
         base = cached_baseline()
     except Exception:
         base = float("nan")
     vs = ours / base if base == base and base > 0 else None
     # absolute perf axis: achieved TFLOP/s and MFU against v5e bf16 peak.
-    # CAVEAT (this relay): step timing is dispatch-ack based — the tunnel
-    # acks block_until_ready optimistically (CLAUDE.md), so on axon these are
-    # UPPER BOUNDS on device MFU, flagged when they exceed plausibility.
+    # `value` keeps the wall-clock dispatch rate (round-over-round
+    # continuity), but on this relay that timing is ack-based and optimistic
+    # (CLAUDE.md); the profiler-derived device_ms_per_step is ground truth
+    # and is what mfu is computed from when available.
     flops = analytic_flops_per_step()
-    steps_per_sec = ours / BATCH
-    tflops = flops * steps_per_sec / 1e12
-    mfu = flops * steps_per_sec / V5E_PEAK_FLOPS
     out = {"metric": "sp_infonce_pretrain_throughput",
            "value": round(ours, 2), "unit": "slices/sec",
            "vs_baseline": round(vs, 2) if vs else None,
-           "flops_per_step": flops, "tflops": round(tflops, 2),
-           "mfu": round(mfu, 4)}
-    if mfu > 0.6:
-        out["mfu_note"] = ("relay ack-based timing; treat as upper bound "
-                           "(>1.0 proves the ack outruns device execution)")
+           "flops_per_step": flops}
+    if dev_ms:
+        dev_steps_per_sec = 1000.0 / dev_ms
+        out["device_ms_per_step"] = round(dev_ms, 3)
+        out["device_slices_per_sec"] = round(BATCH * dev_steps_per_sec, 1)
+        out["tflops"] = round(flops * dev_steps_per_sec / 1e12, 2)
+        out["mfu"] = round(flops * dev_steps_per_sec / V5E_PEAK_FLOPS, 4)
+        out["mfu_note"] = "mfu from profiler device time (true device rate)"
+    else:
+        steps_per_sec = ours / BATCH
+        out["tflops"] = round(flops * steps_per_sec / 1e12, 2)
+        out["mfu"] = round(flops * steps_per_sec / V5E_PEAK_FLOPS, 4)
+        out["mfu_note"] = ("relay ack-based timing; upper bound "
+                           "(no profiler device plane available)")
     print(json.dumps(out))
 
 

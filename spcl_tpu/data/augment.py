@@ -177,13 +177,24 @@ def _source_coords(params: Dict[str, jnp.ndarray], crop: int, in_size: int,
     def per_sample(theta, fh, fv, cy, cx, rh, rw, oh, ow):
         cos, sin = jnp.cos(theta), jnp.sin(theta)
         if rotate_after_crop:
-            # undo rotation about the CROP center, then undo crop + flips
+            # undo rotation about the CROP center, then undo crop + flips.
+            # The rotation operates on the MATERIALIZED crop (reference
+            # Compose([RandomCrop, RandomRotation])): coords falling outside
+            # the crop patch are fill=0, not image data — mask them.
             c2 = (crop - 1) / 2.0
             dy, dx = gy - c2, gx - c2
-            y = cos * dy + sin * dx + c2 + cy
-            x = -sin * dy + cos * dx + c2 + cx
+            yc = cos * dy + sin * dx + c2
+            xc = -sin * dy + cos * dx + c2
+            eps = 1e-3  # tolerate float noise at exact-multiple-of-90 angles
+            outside = ((yc < -eps) | (yc > crop - 1 + eps)
+                       | (xc < -eps) | (xc > crop - 1 + eps))
+            y = yc + cy
+            x = xc + cx
             y = jnp.where(fv, (rh - 1.0) - y, y)
             x = jnp.where(fh, (rw - 1.0) - x, x)
+            # send outside-crop samples far out of range -> zero fill
+            y = jnp.where(outside, -1e6, y)
+            x = jnp.where(outside, -1e6, x)
         else:
             # undo crop, flips (about the frame center), then rotation
             y = gy + cy
@@ -244,10 +255,30 @@ def _gather_nearest(lab: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray) -> jnp.n
     return jnp.where(inside, v, 0)
 
 
+def _warp_backend(backend: str) -> str:
+    """'gather': per-pixel bilinear lookup — exact single-pass interpolation,
+    but XLA lowers it to SparseCore gathers on TPU (~80M elem/s: measured 85%
+    of the train step, RESULTS.md). 'mxu': gather-free separable-matmul +
+    3-shear pipeline (data/warp_mxu.py) — the TPU default. 'auto' picks by
+    backend."""
+    if backend != "auto":
+        return backend
+    return "mxu" if jax.default_backend() == "tpu" else "gather"
+
+
 def apply_geometric(image: jnp.ndarray, label: Optional[jnp.ndarray],
                     params: Dict[str, jnp.ndarray], crop: int,
-                    rotate_after_crop: bool = False):
-    """image [B,H,W,C] bilinear; label [B,H,W] nearest — same params."""
+                    rotate_after_crop: bool = False,
+                    max_degrees: Optional[float] = None,
+                    backend: str = "auto"):
+    """image [B,H,W,C] bilinear; label [B,H,W] nearest — same params.
+
+    max_degrees: static |rotation| bound (policy.rot_degrees); required by
+    the mxu backend to size the shear shift range. None -> inferred as 45."""
+    if _warp_backend(backend) == "mxu":
+        from .warp_mxu import warp_mxu
+        md = 45.0 if max_degrees is None else float(max_degrees)
+        return warp_mxu(image, label, params, crop, rotate_after_crop, md)
     in_size = image.shape[1]
     sy, sx = _source_coords(params, crop, in_size, rotate_after_crop)
     out_img = jax.vmap(_gather_bilinear)(image, sy, sx)
@@ -277,7 +308,7 @@ def augment_once(key: jax.Array, image: jnp.ndarray, label: Optional[jnp.ndarray
     kg, kj = jax.random.split(key)
     params = sample_geometric(kg, image.shape[0], policy, image.shape[1], sizes)
     img, lab = apply_geometric(image, label, params, policy.crop,
-                               policy.rotate_after_crop)
+                               policy.rotate_after_crop, policy.rot_degrees)
     img = apply_jitter(kj, img, policy)
     return img, lab
 
@@ -291,8 +322,8 @@ def augment_twice(key: jax.Array, image: jnp.ndarray, label: Optional[jnp.ndarra
     p1 = sample_geometric(kg1, b, policy, s, sizes)
     p2 = sample_geometric(kg2, b, policy, s, sizes) if total_freedom else p1
     rac = policy.rotate_after_crop
-    img1, lab1 = apply_geometric(image, label, p1, policy.crop, rac)
-    img2, lab2 = apply_geometric(image, label, p2, policy.crop, rac)
+    img1, lab1 = apply_geometric(image, label, p1, policy.crop, rac, policy.rot_degrees)
+    img2, lab2 = apply_geometric(image, label, p2, policy.crop, rac, policy.rot_degrees)
     img1 = apply_jitter(kj1, img1, policy)
     img2 = apply_jitter(kj2, img2, policy)
     return (img1, lab1), (img2, lab2)
@@ -307,7 +338,7 @@ def center_crop(image: jnp.ndarray, label: Optional[jnp.ndarray], crop: int,
     if policy is None:
         policy = AugmentPolicy(crop=crop)
     params = center_geometric(image.shape[0], policy, image.shape[1], sizes)
-    return apply_geometric(image, label, params, policy.crop)
+    return apply_geometric(image, label, params, policy.crop, max_degrees=0.0)
 
 
 # --------------------------------------------------------------------------- replayable flips

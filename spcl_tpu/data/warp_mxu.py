@@ -1,0 +1,206 @@
+"""Gather-free affine warp for TPU (MXU/VPU formulation).
+
+Profiling the real device (RESULTS.md, round 2) showed the straightforward
+gather-based warp (`augment._gather_bilinear`) dominating the training step:
+XLA lowers the per-pixel 4-tap gather to SparseCore offloads running at
+~80M elem/s — ~150ms of a ~180ms step at the reference pretrain shapes
+(85% of device time for <2% of the FLOPs). TPUs have no vector gather; the
+TPU-native answer is to express the warp without one:
+
+- **Separable passes** (resize, flip, crop, translate): a 1-D linear
+  resampling along each axis is a small per-sample interpolation matrix
+  (hat weights for bilinear, one-hot rows for nearest), applied as a
+  batched matmul on the MXU: `einsum('biu,buwc->biwc')` then
+  `einsum('bjw,biwc->bijc')`. Exactly single-pass bilinear when no
+  rotation is present (same 2-tap weights, summed by the MXU).
+- **Rotation**: the Paeth/Tanaka 3-shear decomposition
+  R(-θ) = V(u) H(v) V(u) with u = tan(θ/2), v = -sin(θ) (coordinates
+  (y, x); V shears y by x, H shears x by y). Each shear is a per-line
+  fractional translation — implemented as a shift-and-accumulate over a
+  STATIC shift range (bounded by the policy's max rotation): pure
+  slices + vectorized multiply-adds, no indexing.
+
+Numerics: without rotation the pipeline is bit-equivalent (up to f32
+reduction order) to the gather path and to PIL/torch bilinear. With
+rotation, three successive linear interpolations replace one bilinear
+lookup — a slightly smoother filter than the reference's PIL rotate
+(documented deviation; the image/label pair stays geometrically aligned
+because labels ride the same passes with nearest weights).
+
+Pipeline order (image-processing order; inverse maps compose to exactly
+`augment._source_coords`):
+  standard: resize -> V-shear -> H-shear -> V-shear -> flip+crop
+  rotate_after_crop: resize -> flip+crop -> V -> H -> V (about crop center)
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _hat(src: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Bilinear weights: src [B, n_out] float positions -> [B, n_out, size].
+    Out-of-range positions get all-zero rows (zero fill)."""
+    grid = jnp.arange(size, dtype=jnp.float32)
+    return jnp.maximum(1.0 - jnp.abs(src[..., None] - grid), 0.0)
+
+
+def _onehot_nearest(src: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Nearest weights (floor(src+0.5), PIL/torch nearest-exact), zero fill."""
+    idx = jnp.floor(src + 0.5)
+    grid = jnp.arange(size, dtype=jnp.float32)
+    return ((idx[..., None] == grid) & (idx[..., None] >= 0)
+            & (idx[..., None] < size)).astype(jnp.float32)
+
+
+def _resample_2d(img: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray) -> jnp.ndarray:
+    """img [B,H,W,C]; wy [B,h,H]; wx [B,w,W] -> [B,h,w,C] (two MXU passes)."""
+    t = jnp.einsum("biu,buwc->biwc", wy, img)
+    return jnp.einsum("bjw,biwc->bijc", wx, t)
+
+
+def _sep_pass(img: jnp.ndarray, lab: Optional[jnp.ndarray],
+              sy: jnp.ndarray, sx: jnp.ndarray, out_h: int, out_w: int):
+    """One separable resampling: sy [B,out_h], sx [B,out_w] source positions."""
+    h, w = img.shape[1], img.shape[2]
+    out_img = _resample_2d(img, _hat(sy, h), _hat(sx, w))
+    out_lab = None
+    if lab is not None:
+        out_lab = _resample_2d(lab[..., None].astype(jnp.float32),
+                               _onehot_nearest(sy, h), _onehot_nearest(sx, w))
+        out_lab = jnp.round(out_lab[..., 0]).astype(lab.dtype)
+    return out_img, out_lab
+
+
+def _shift_by(x: jnp.ndarray, step: int, axis: int) -> jnp.ndarray:
+    """out[i] = x[i + step] with zeros shifted in at the tail (static ops)."""
+    n = x.shape[axis]
+    sl = jax.lax.slice_in_dim(x, step, n, axis=axis)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, step)
+    return jnp.pad(sl, pad)
+
+
+def _shift_accum(x: jnp.ndarray, off: jnp.ndarray, k_max: int, axis: int,
+                 nearest: bool) -> jnp.ndarray:
+    """Fractional translation along `axis`, per-line offsets, zero fill.
+
+    x [B, H, W, C]; off [B, n_lines] where n_lines indexes the OTHER spatial
+    axis (a V-shear shifts each column vertically: axis=1, off per column).
+
+    out[i] = lerp(x[i + k0], x[i + k0 + 1], frac) with k0 in [-k_max, k_max].
+    The integer shift runs as a BINARY decomposition: ~log2(2*k_max) passes
+    of `where(bit, shift_by_2^b, identity)` — static slices + vectorized
+    selects, no gather, ~20x less traffic than one pass per shift value.
+    """
+    if nearest:
+        off = jnp.floor(off + 0.5)  # exact integer shift for labels
+    k0 = jnp.floor(off)
+    frac = (off - k0).astype(x.dtype)
+    # z[i] = x[i - k_max] (zero outside); want out[i] = z[i + m], m = k_max + k0
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (k_max, 1)
+    cur = jnp.pad(x, pad)
+    m = jnp.clip(k_max + k0, 0, 2 * k_max).astype(jnp.int32)
+    sel_shape = [x.shape[0], 1, 1, 1]
+    sel_shape[2 if axis == 1 else 1] = off.shape[1]
+    nbits = max(int(math.ceil(math.log2(2 * k_max + 1))), 1)
+    for b in range(nbits):
+        step = 1 << b
+        bit = ((m >> b) & 1).astype(bool).reshape(sel_shape)
+        cur = jnp.where(bit, _shift_by(cur, step, axis), cur)
+    n = x.shape[axis]
+    lo = jax.lax.slice_in_dim(cur, 0, n, axis=axis)
+    if nearest:
+        return lo
+    hi = jax.lax.slice_in_dim(cur, 1, n + 1, axis=axis)
+    f = frac.reshape(sel_shape)
+    return lo * (1.0 - f) + hi * f
+
+
+def _rotate_3shear(img: jnp.ndarray, lab: Optional[jnp.ndarray],
+                   theta: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
+                   max_degrees: float):
+    """Rotation by -theta inverse map about per-sample center (cy, cx):
+    V(u) -> H(v) -> V(u), u = tan(theta/2), v = -sin(theta)."""
+    b, h, w = img.shape[:3]
+    u = jnp.tan(theta / 2.0)
+    v = -jnp.sin(theta)
+    t_max = math.tan(math.radians(max_degrees) / 2.0)
+    s_max = math.sin(math.radians(max_degrees))
+    ky = int(math.ceil(t_max * max(h, w) / 2.0)) + 1
+    kx = int(math.ceil(s_max * max(h, w) / 2.0)) + 1
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :]
+    off_v = u[:, None] * (xs - cx[:, None])  # [B, W]: y-shift per column
+    off_h = v[:, None] * (ys - cy[:, None])  # [B, H]: x-shift per row
+
+    def run(x, nearest):
+        x = _shift_accum(x, off_v, ky, axis=1, nearest=nearest)
+        x = _shift_accum(x, off_h, kx, axis=2, nearest=nearest)
+        return _shift_accum(x, off_v, ky, axis=1, nearest=nearest)
+
+    out_img = run(img, nearest=False)
+    out_lab = None
+    if lab is not None:
+        out_lab = jnp.round(run(lab[..., None].astype(jnp.float32),
+                                nearest=True)[..., 0]).astype(lab.dtype)
+    return out_img, out_lab
+
+
+def warp_mxu(image: jnp.ndarray, label: Optional[jnp.ndarray],
+             params: Dict[str, jnp.ndarray], crop: int,
+             rotate_after_crop: bool, max_degrees: float
+             ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Gather-free equivalent of augment.apply_geometric.
+
+    params: the augment.sample_geometric dict (theta/fh/fv/cy/cx/rh/rw/oh/ow).
+    max_degrees: STATIC bound on |rotation| (policy.rot_degrees) — sizes the
+    shear shift range.
+    """
+    in_size = image.shape[1]
+    b = image.shape[0]
+    theta = params["theta"]
+    rh, rw = params["rh"], params["rw"]
+    oh, ow = params["oh"], params["ow"]
+    oy = jnp.floor((in_size - oh) / 2.0)
+    ox = jnp.floor((in_size - ow) / 2.0)
+
+    # ---- pass 1: resize the original extent to the frame (canvas-sized
+    # buffer, frame at origin). src = (dst+0.5)*orig/frame - 0.5 + origin.
+    dst_y = jnp.arange(in_size, dtype=jnp.float32)[None, :]
+    sy1 = (dst_y + 0.5) * (oh / rh)[:, None] - 0.5 + oy[:, None]
+    sx1 = (dst_y + 0.5) * (ow / rw)[:, None] - 0.5 + ox[:, None]
+    # skip the pass entirely when it is an exact identity for every sample
+    # (no resize policy and full-canvas extents): static check via shapes is
+    # impossible on traced values, so the caller decides; here we always run
+    # (it is two small matmuls).
+    img, lab = _sep_pass(image, label, sy1, sx1, in_size, in_size)
+
+    no_rotation = max_degrees == 0.0
+
+    def flip_crop_positions(out_n, off, flip, frame):
+        dst = jnp.arange(out_n, dtype=jnp.float32)[None, :]
+        pos = dst + off[:, None]
+        return jnp.where(flip[:, None], (frame - 1.0)[:, None] - pos, pos)
+
+    if rotate_after_crop:
+        # resize -> flip+crop (to crop frame) -> rotate about crop center
+        sy2 = flip_crop_positions(crop, params["cy"], params["fv"], rh)
+        sx2 = flip_crop_positions(crop, params["cx"], params["fh"], rw)
+        img, lab = _sep_pass(img, lab, sy2, sx2, crop, crop)
+        if not no_rotation:
+            c2 = jnp.full((b,), (crop - 1) / 2.0)
+            img, lab = _rotate_3shear(img, lab, theta, c2, c2, max_degrees)
+        return img, lab
+
+    # standard: resize -> rotate about frame center -> flip+crop
+    if not no_rotation:
+        img, lab = _rotate_3shear(img, lab, theta, (rh - 1.0) / 2.0,
+                                  (rw - 1.0) / 2.0, max_degrees)
+    sy2 = flip_crop_positions(crop, params["cy"], params["fv"], rh)
+    sx2 = flip_crop_positions(crop, params["cx"], params["fh"], rw)
+    return _sep_pass(img, lab, sy2, sx2, crop, crop)

@@ -3,12 +3,10 @@ item 7): one optimizer step through build_pretrain_step with use_fused=True
 must match the naive-jnp path — loss, downgrade ratio, and the updated
 parameters. On CPU the kernel runs in interpret mode; the same code path
 compiles to Mosaic on TPU."""
-import copy
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from spcl_tpu.data import create_contrastive_loader, synthetic_dataset
 from spcl_tpu.data.augment import AugmentPolicy

@@ -2,7 +2,6 @@
 item 6; reference semi_seg/hooks/infonce.py:185-193,263-266 plots sim_exp,
 sim_logits, pos_mask each epoch, sp_mask for the self-paced hook)."""
 import numpy as np
-import pytest
 
 from spcl_tpu.data import create_contrastive_loader, get_data, synthetic_dataset
 from spcl_tpu.data.augment import AugmentPolicy

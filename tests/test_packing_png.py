@@ -9,9 +9,8 @@ check the scan/partition metadata equals the synthetic-path values, and run
 a FineTune smoke epoch from the packed result.
 """
 import numpy as np
-import pytest
 
-from spcl_tpu.data import get_data, synthetic_dataset
+from spcl_tpu.data import get_data
 from spcl_tpu.data.dataset import SliceDataset
 from spcl_tpu.data.packing import load_packed, pack_png_folder, save_packed
 
