@@ -84,7 +84,7 @@ class ConvBlock(nn.Module):
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=1.0 - self.momentum, dtype=jnp.float32,
                              axis_name=self.axis_name if train else None,
-                             use_fast_variance=False,
+                             use_fast_variance=True,  # one-pass stats (E[x^2]-mean^2): same math as torch BN, ~2x cheaper reductions
                              name=f"bn{i}")(x)
             x = nn.relu(x)
         return x
@@ -104,7 +104,7 @@ class UpConv(nn.Module):
         x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=1.0 - self.momentum,
-                         dtype=jnp.float32, use_fast_variance=False,
+                         dtype=jnp.float32, use_fast_variance=True,  # one-pass stats (E[x^2]-mean^2): same math as torch BN, ~2x cheaper reductions
                          axis_name=self.axis_name if train else None, name="bn")(x)
         return nn.relu(x)
 
