@@ -260,9 +260,14 @@ def _warp_backend(backend: str) -> str:
     but XLA lowers it to SparseCore gathers on TPU (~80M elem/s: measured 85%
     of the train step, RESULTS.md). 'mxu': gather-free separable-matmul +
     3-shear pipeline (data/warp_mxu.py) — the TPU default. 'auto' picks by
-    backend."""
+    backend; the SPCL_WARP_BACKEND env var overrides auto (debug escape
+    hatch)."""
     if backend != "auto":
         return backend
+    import os
+    forced = os.environ.get("SPCL_WARP_BACKEND")
+    if forced in ("gather", "mxu"):
+        return forced
     return "mxu" if jax.default_backend() == "tpu" else "gather"
 
 
