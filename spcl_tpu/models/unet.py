@@ -137,6 +137,10 @@ class UNet(nn.Module):
         acts: Dict[str, jnp.ndarray] = {}
 
         def pool(v):
+            # nn.max_pool (reduce_window + select-and-scatter bwd) measured
+            # FASTER than a reshape-based pool with custom first-index VJP
+            # (23.4 vs 27.6 ms/step): the reshape/transpose materializations
+            # cost more than select-and-scatter does. Keep XLA's form.
             return nn.max_pool(v, (2, 2), strides=(2, 2))
 
         e1 = ConvBlock(self.channel_dim("Conv1"), name="Conv1", **kw)(x, train=train)
