@@ -59,6 +59,61 @@ def test_sharded_step_matches_single_device(mesh):
     np.testing.assert_allclose(k1, k8, rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_pretrain_step_matches_single_device(mesh):
+    """The PAPER's path under the mesh: self-paced contrastive pretrain step
+    (two on-device views + SP-InfoNCE over meta-labels) — sharded batch must
+    reproduce the unsharded loss and parameter update (GSPMD inserts the
+    embedding all-gather + gradient psum)."""
+    from spcl_tpu.data import synthetic_dataset
+    from spcl_tpu.data.augment import AugmentPolicy
+    from spcl_tpu.hooks import SelfPacedINFONCEHook
+    from spcl_tpu.models import UNet
+    from spcl_tpu.models.masking import stage_trainable_mask, stages_from_range
+    from spcl_tpu.training import build_optimizer, create_train_state
+    from spcl_tpu.training.steps import build_pretrain_step
+
+    model = UNet(input_dim=1, num_classes=4, max_channel=128)
+    hook = SelfPacedINFONCEHook(name="sp", feature_name="Conv5",
+                                contrast_on="partition", begin_value=100.0,
+                                end_value=5.0, mode="soft", max_epoch=2)
+    # RAdam: un-adapted (SGD-like) early steps, so epsilon-level grad
+    # differences between shardings stay epsilon-level in the params
+    # (adam's step-1 g/sqrt(g^2) normalization would amplify them to signs)
+    optimizer = build_optimizer(name="RAdam", lr=1e-3)
+    sample = jnp.zeros((2, 32, 32, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False, until="Conv5")
+    acts = jax.eval_shape(lambda v, x: model.apply(v, x, train=False, until="Conv5"),
+                          variables, sample)
+    sample_acts = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), acts)
+    hook_params = {hook.name: hook.build(jax.random.PRNGKey(1), model, sample_acts)}
+
+    def mk_state():
+        v = model.init(jax.random.PRNGKey(0), sample, train=False, until="Conv5")
+        return create_train_state(model_params=v["params"],
+                                  batch_stats=v.get("batch_stats", {}),
+                                  hook_params=jax.tree_util.tree_map(jnp.copy, hook_params),
+                                  tx=optimizer)
+
+    mask = stage_trainable_mask(variables["params"], stages_from_range(None, "Conv5"))
+    step = build_pretrain_step(model, [hook], optimizer,
+                               policy=AugmentPolicy(crop=32, rot_degrees=10.0),
+                               total_freedom=True, until="Conv5", grad_mask=mask)
+    ds = synthetic_dataset("acdc", num_scans=8, slices_per_scan=(4, 5), canvas=32, seed=0)
+    batch = ds.batch(np.arange(16))
+    key = jax.random.PRNGKey(2)
+    scal = {hook.name: hook.epoch_scalars(0)}
+
+    s1, m1 = step(mk_state(), jax.device_put(batch), key, scal)
+    s8, m8 = step(replicate(mk_state(), mesh), shard_batch(batch, mesh),
+                  replicate(key, mesh), scal)
+    np.testing.assert_allclose(float(m1["reg_loss"]), float(m8["reg_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["hooks"]["sp"]["sp_weight"]),
+                               float(m8["hooks"]["sp"]["sp_weight"]), rtol=1e-5)
+    k1 = np.asarray(s1.params["model"]["Conv5"]["conv0"]["kernel"])
+    k8 = np.asarray(s8.params["model"]["Conv5"]["conv0"]["kernel"])
+    np.testing.assert_allclose(k1, k8, rtol=1e-4, atol=1e-6)
+
+
 def test_contrastive_loss_spans_global_batch(mesh):
     """The supcon loss of a sharded z must equal the unsharded loss — i.e.
     GSPMD all-gathers the embeddings so the NxN matrix covers all chips."""
