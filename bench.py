@@ -95,65 +95,11 @@ def measure_ours() -> float:
         holder["state"], _ = step.epoch_step(holder["state"], dev_mat, dev_scal)
         return holder["state"]
 
-    dev_ms = _device_ms_per_step(run_one)
+    from spcl_tpu.utils.profiling import profile_device_time
+    dev_ms = profile_device_time(run_one)
     assert np.isfinite(float(jax.device_get(metrics["reg_loss"])))
     # a "slice" processed = one 2D slice through the pipeline (2 views each)
     return float(max(rates)), dev_ms
-
-
-def _device_ms_per_step(run_one, reps: int = 20):
-    """Trace `reps` dispatches and read the device plane's Steps line."""
-    import glob
-    import shutil
-    import tempfile
-    import jax
-    d = tempfile.mkdtemp(prefix="bench_trace_")
-    try:
-        with jax.profiler.trace(d):
-            out = None
-            for _ in range(reps):
-                out = run_one()
-            jax.block_until_ready(out)
-        from tensorflow.tsl.profiler.protobuf import xplane_pb2
-        for p in glob.glob(d + "/**/*.xplane.pb", recursive=True):
-            xs = xplane_pb2.XSpace()
-            xs.ParseFromString(open(p, "rb").read())
-            for plane in xs.planes:
-                if plane.name != "/device:TPU:0":
-                    continue
-                for line in plane.lines:
-                    if line.name == "Steps" and line.events:
-                        tot = sum(e.duration_ps for e in line.events) / 1e12
-                        return tot / len(line.events) * 1e3
-    except Exception:
-        return None
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return None
-
-
-def analytic_flops_per_step() -> float:
-    """Analytic FLOPs of one benched step (VERDICT r1 item 5): UNet encoder
-    Conv1..Conv5 forward at batch 2N (two 3x3 convs per stage, maxpool
-    halving between stages), x3 for backward (dW + dx), on 2N crops of
-    CROP^2. The projection head (60x256 matmuls) and the 120x120 contrastive
-    loss are <0.5% of the conv FLOPs and are ignored; so is augmentation
-    (gather-bound, not MXU work)."""
-    chs = [CH // 16, CH // 8, CH // 4, CH // 2, CH]
-    b = 2 * BATCH
-    res = CROP
-    cin = 1
-    fwd = 0.0
-    for i, c in enumerate(chs):
-        if i:
-            res //= 2
-        fwd += 2.0 * b * res * res * 9 * (cin * c + c * c)
-        cin = c
-    return fwd * 3.0
-
-
-# public peak for TPU v5e: 197 TFLOP/s bf16 (394 int8) per chip
-V5E_PEAK_FLOPS = 197e12
 
 
 def measure_torch_baseline() -> float:

@@ -655,6 +655,12 @@ class Trainer:
                 # trace the second epoch (first is compile-heavy)
                 with jax.profiler.trace(str(profile_dir)):
                     train_stats = self._run_train_epoch()
+                # host wall-clock is ack-based on relayed backends; the
+                # device plane is ground truth (utils/profiling.py)
+                from ..utils.profiling import device_ms_per_step
+                dev_ms = device_ms_per_step(str(profile_dir))
+                if dev_ms:
+                    logger.info("profiled epoch: %.2f ms/step DEVICE time", dev_ms)
             else:
                 train_stats = self._run_train_epoch()
             val_stats, cur_score = self._run_eval_epoch(self._val_loader)

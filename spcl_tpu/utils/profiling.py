@@ -1,0 +1,63 @@
+"""Device-time extraction from jax.profiler traces.
+
+On this machine's relay the dispatch ack outruns device execution, so
+wall-clock timing of jitted steps is an upper bound, not a measurement
+(RESULTS.md). The profiler's device plane is ground truth: these helpers
+parse the .xplane.pb the trace writes and report per-step device time.
+Used by bench.py and by Trainer when `Trainer.profile_dir` is set.
+
+(The reference has no systematic profiling at all — SURVEY §5.1: an unused
+EpocherTimer and tqdm rates.)
+"""
+from __future__ import annotations
+
+import glob
+from typing import Optional
+
+
+def device_ms_per_step(trace_dir: str) -> Optional[float]:
+    """Mean device time per step from a jax.profiler trace directory.
+
+    Reads the TPU device plane's "Steps" line (one event per executed
+    program). Returns None when no device plane / parser is available
+    (e.g. CPU traces, or tensorflow's xplane protos not installed)."""
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except Exception:
+        return None
+    total, count = 0.0, 0
+    for p in glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True):
+        xs = xplane_pb2.XSpace()
+        try:
+            xs.ParseFromString(open(p, "rb").read())
+        except Exception:
+            continue
+        for plane in xs.planes:
+            if not plane.name.startswith("/device:TPU"):
+                continue
+            for line in plane.lines:
+                if line.name == "Steps" and line.events:
+                    total += sum(e.duration_ps for e in line.events) / 1e12
+                    count += len(line.events)
+    if count == 0:
+        return None
+    return total / count * 1e3
+
+
+def profile_device_time(run_one, reps: int = 20) -> Optional[float]:
+    """Trace `reps` calls of run_one() and return device ms per call."""
+    import shutil
+    import tempfile
+    import jax
+    d = tempfile.mkdtemp(prefix="spcl_trace_")
+    try:
+        with jax.profiler.trace(d):
+            out = None
+            for _ in range(reps):
+                out = run_one()
+            jax.block_until_ready(out)
+        return device_ms_per_step(d)
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
