@@ -13,7 +13,11 @@ on the TPU; its one runnable form here is torch-CPU). The baseline number is
 measured once and cached in .bench_ref.json so round-over-round comparisons
 track OUR changes only.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline",
+"flops_per_step", "device_ms_per_step", "device_slices_per_sec", "tflops",
+"mfu", "mfu_note"} — `value` is the wall-clock dispatch rate (ack-based on
+this relay, kept for round-over-round continuity); the device_* fields and
+mfu come from a profiler device-plane trace (ground truth).
 """
 import json
 import os
