@@ -106,6 +106,30 @@ def measure_ours() -> float:
     return float(max(rates)), dev_ms
 
 
+def analytic_flops_per_step() -> float:
+    """Analytic FLOPs of one benched step (VERDICT r1 item 5): UNet encoder
+    Conv1..Conv5 forward at batch 2N (two 3x3 convs per stage, maxpool
+    halving between stages), x3 for backward (dW + dx), on 2N crops of
+    CROP^2. The projection head (60x256 matmuls) and the 120x120 contrastive
+    loss are <0.5% of the conv FLOPs and are ignored; so is augmentation
+    (matmul/shift-bound, not the dominant MXU work)."""
+    chs = [CH // 16, CH // 8, CH // 4, CH // 2, CH]
+    b = 2 * BATCH
+    res = CROP
+    cin = 1
+    fwd = 0.0
+    for i, c in enumerate(chs):
+        if i:
+            res //= 2
+        fwd += 2.0 * b * res * res * 9 * (cin * c + c * c)
+        cin = c
+    return fwd * 3.0
+
+
+# public peak for TPU v5e: 197 TFLOP/s bf16 (394 int8) per chip
+V5E_PEAK_FLOPS = 197e12
+
+
 def measure_torch_baseline() -> float:
     """Reference-equivalent torch step (written fresh; same math shape):
     UNet encoder-to-Conv5 fwd, projection head, SupCon-with-self-paced-weights
