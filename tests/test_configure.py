@@ -73,3 +73,26 @@ def test_ntuple_broadcast():
     assert ntuple(2)(["a", "b"]) == ("a", "b")
     with pytest.raises(ValueError):
         ntuple(3)(["a", "b"])
+
+
+def test_specific_config_presets_build_hooks():
+    """config/specific/*.yaml (ports of the reference's per-method presets,
+    /root/reference/config/specific) parse and activate the right hooks."""
+    from pathlib import Path
+    from spcl_tpu.utils import yaml_load
+    from spcl_tpu.hooks import create_hook_from_config
+
+    root = Path(__file__).parents[1] / "config" / "specific"
+    expected = {
+        "entmin.yaml": {"EntropyMinTrainerHook"},
+        "iic.yaml": {"DiscreteMITrainHook", "ConsistencyTrainerHook"},
+        "infonce.yaml": {"INFONCEHook"},
+        "mt.yaml": {"MeanTeacherTrainerHook"},
+        "pretrain.yaml": set(),  # schedule knobs only
+        "selfpaced_infonce.yaml": {"SelfPacedINFONCEHook"},
+        "uda.yaml": {"ConsistencyTrainerHook"},
+    }
+    for name, want in expected.items():
+        cfg = yaml_load(root / name)
+        hooks = create_hook_from_config(cfg, max_epoch=80)
+        assert {h.__class__.__name__ for h in hooks} == want, name
