@@ -31,7 +31,7 @@ BATCH = SCANS * PARTS  # 30 slices, 60 views
 WARMUP, TIMED = 10, 200
 
 
-def measure_ours() -> float:
+def measure_ours():
     """Production path: device-resident dataset (DeviceStore) + epoch-batched
     steps (the epoch's index matrix uploads once; each step derives its batch
     and PRNG key on device from state.step — zero per-step H2D traffic)."""

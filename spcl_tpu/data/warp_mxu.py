@@ -174,10 +174,8 @@ def warp_mxu(image: jnp.ndarray, label: Optional[jnp.ndarray],
     dst_y = jnp.arange(in_size, dtype=jnp.float32)[None, :]
     sy1 = (dst_y + 0.5) * (oh / rh)[:, None] - 0.5 + oy[:, None]
     sx1 = (dst_y + 0.5) * (ow / rw)[:, None] - 0.5 + ox[:, None]
-    # skip the pass entirely when it is an exact identity for every sample
-    # (no resize policy and full-canvas extents): static check via shapes is
-    # impossible on traced values, so the caller decides; here we always run
-    # (it is two small matmuls).
+    # always run (an identity resize is two small matmuls; detecting it
+    # would need a static signal the traced extents cannot provide)
     img, lab = _sep_pass(image, label, sy1, sx1, in_size, in_size)
 
     no_rotation = max_degrees == 0.0

@@ -216,7 +216,7 @@ def _grid_and_specs(n_pad: int, d: int):
 
 def _fwd_stats(z, labels_f, valid_f, inv_t, gamma, mode):
     n_pad, d = z.shape
-    cb, grid, base, row_out, row_in, col_in = _grid_and_specs(n_pad, d)
+    cb, grid, base, row_out, row_in, _ = _grid_and_specs(n_pad, d)
     vec = jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)
     scalars = jnp.stack([inv_t, gamma]).astype(jnp.float32)
     lab = labels_f[None, :]
