@@ -10,12 +10,10 @@ Each phase runs in its OWN process with the zero-read training mode
 (Trainer.defer_reads). Appends the timing table to RESULTS.md.
 
 NOTE (this environment): the device tunnel charges ~0.2s per executed step
-at the first device->host read (journal validation), independent of
-deferral — so the full 52,000-step schedule takes ~3h through the tunnel
-even though the device executes it in under a minute (measured: 16,000
-pretrain steps in 20s before the first read; see RESULTS.md). On a real
-TPU host there is no such read penalty and this script reflects true
-wall-clock.
+at the first device->host read (journal validation) — the full 52,000-step
+schedule takes ~3h through the tunnel. True device cost at the round-2
+profiled step times (23.4 ms f32): ~20 min for the whole schedule; on a
+real TPU host this script's wall-clock approaches that.
 """
 import json
 import subprocess
