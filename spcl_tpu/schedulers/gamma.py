@@ -46,7 +46,11 @@ class PScheduler(_EpochScheduler):
         self.p = float(p)
 
     def get_value(self, epoch: int) -> float:
-        frac = np.power(epoch / self.max_epoch, self.p)
+        # clamp to [0, max_epoch]: fractional powers of a negative ratio are
+        # NaN, and the trainer clock hands 0-based epochs (epoch-1) — a
+        # direct _run_train_epoch() call before any start_training() would
+        # otherwise poison gamma for the whole run
+        frac = np.power(min(max(epoch, 0), self.max_epoch) / self.max_epoch, self.p)
         return self.begin_value + (self.end_value - self.begin_value) * float(frac)
 
 

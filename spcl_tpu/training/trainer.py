@@ -920,6 +920,10 @@ class _PretrainTrainer(Trainer):
             lambda *xs: jnp.stack(xs), *pending))
         for b in range(len(pending)):
             m = jax.tree_util.tree_map(lambda x: x[b], stacked)
+            # fail fast on NaN like the reference criterion (contrast_loss3.py:108)
+            if not np.isfinite(m["reg_loss"]):
+                raise RuntimeError(f"non-finite pretrain reg_loss at batch {b}: "
+                                   f"{m['reg_loss']}")
             with meters.focus_on(self.train_meter_focus):
                 meters["reg_loss"].add(float(m["reg_loss"]))
             for name, hm in m.get("hooks", {}).items():
