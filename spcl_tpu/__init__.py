@@ -20,7 +20,7 @@ Design principles (TPU-first, not a port):
 import os
 from pathlib import Path
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 # Persistent XLA compilation cache: first compiles in this environment go
 # through a remote-compile relay (minutes for big programs); cache them.
