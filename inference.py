@@ -40,16 +40,25 @@ def run_inference(config, save_dir: str, dump_png: bool = False):
     loader = trainer._test_loader or trainer._val_loader
     sampler = loader.sampler
     pred_dir = Path(save_dir) / "pred"
+    out_size = trainer._eval_out_size()
+    shortest_side = isinstance(trainer.val_policy.resize, int)
     for i, batch in enumerate(loader):
         from spcl_tpu.training.steps import _as_float_image, _as_int_label
+        from spcl_tpu.data.augment import center_geometric, frame_pixel_mask
+        sizes = jnp.asarray(batch["size"]) if "size" in batch else None
         img, lab = center_crop(_as_float_image(jnp.asarray(batch["image"])),
                                _as_int_label(jnp.asarray(batch["label"])),
-                               trainer._crop,
-                               sizes=jnp.asarray(batch["size"]) if "size" in batch else None,
-                               policy=trainer.val_policy)
+                               trainer._crop, sizes=sizes,
+                               policy=trainer.val_policy, out_size=out_size)
         acts = model.apply({"params": trainer.state.params["model"],
                             "batch_stats": trainer.state.batch_stats}, img, train=False)
         pred = np.asarray(jnp.argmax(acts["logits"], axis=-1))
+        if shortest_side:
+            # frame-pixel masking (non-square shortest-side val resize):
+            # padding pixels never exist in the reference's val geometry
+            geo = center_geometric(img.shape[0], trainer.val_policy,
+                                   batch["image"].shape[1], sizes, out_size)
+            pred = pred * np.asarray(frame_pixel_mask(geo, out_size)).astype(pred.dtype)
         lab_np = np.asarray(lab)
         keep = np.asarray(batch["valid"]).astype(bool)
         scan = sampler.scan_of_batch(i)

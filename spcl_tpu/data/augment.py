@@ -75,9 +75,11 @@ PROSTATE_PRETRAIN = AugmentPolicy(crop=224, resize=224, rot_degrees=10.0,
                                   brightness=(0.9, 1.1), contrast=(0.9, 1.1), jitter=True)
 PROSTATE_LABEL = AugmentPolicy(crop=224, resize=224, rot_degrees=0.0,
                                hflip=False, vflip=False, jitter=False)
-# val needs a static output shape: Resize(224) on the (square-packed) slices
-# equals the exact (224, 224) resize.
-PROSTATE_VAL = AugmentPolicy(crop=224, resize=(224, 224), rot_degrees=0.0,
+# faithful shortest-side Resize(224) (reference semi_seg/augment.py:84-87):
+# non-square slices resize to (224, L) / (L, 224); the eval step pads the
+# frame into a static canvas sized from the dataset's extents and masks
+# loss/dice to frame pixels (augment.frame_pixel_mask).
+PROSTATE_VAL = AugmentPolicy(crop=224, resize=224, rot_degrees=0.0,
                              hflip=False, vflip=False, jitter=False)
 # Spleen (:103-137): pretrain Resize((256,256))+Rot10+Flips+Crop(256,pad=20)
 # / jitter 0.9-1.1; label Resize((256,256))+Crop(256,pad=20) -> Rot10;
@@ -115,12 +117,18 @@ def _orig_dims(batch: int, in_size: int, sizes: Optional[jnp.ndarray]):
 
 
 def _frame_dims(policy: AugmentPolicy, oh: jnp.ndarray, ow: jnp.ndarray):
-    """Resized-frame extents. PIL Resize(int) scales the shortest side."""
+    """Resized-frame extents. PIL/torchvision Resize(int) scales the shortest
+    side to exactly `size` and TRUNCATES the long side:
+    new_long = int(size * long / short) (torchvision F.resize) — so the
+    non-shortest side uses floor, and the shortest side is pinned exactly."""
     if policy.resize is None:
         return oh, ow
     if isinstance(policy.resize, int):
-        s = float(policy.resize) / jnp.minimum(oh, ow)
-        return jnp.round(oh * s), jnp.round(ow * s)
+        r = float(policy.resize)
+        short = jnp.minimum(oh, ow)
+        rh = jnp.where(oh <= ow, r, jnp.floor(oh * r / short))
+        rw = jnp.where(ow <= oh, r, jnp.floor(ow * r / short))
+        return rh, rw
     rh, rw = policy.resize
     return jnp.full_like(oh, float(rh)), jnp.full_like(ow, float(rw))
 
@@ -152,16 +160,20 @@ def sample_geometric(key: jax.Array, batch: int, policy: AugmentPolicy,
 
 
 def center_geometric(batch: int, policy: AugmentPolicy, in_size: int,
-                     sizes: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+                     sizes: Optional[jnp.ndarray] = None,
+                     out_size: Optional[int] = None) -> Dict[str, jnp.ndarray]:
     """Deterministic params (val transform parity): plain resize for resize
-    policies, center crop of the original extent otherwise."""
+    policies, center crop of the original extent otherwise. `out_size`
+    overrides the output extent (> crop pads around the centered frame —
+    the shortest-side val-resize path)."""
+    out = policy.crop if out_size is None else out_size
     oh, ow = _orig_dims(batch, in_size, sizes)
     rh, rw = _frame_dims(policy, oh, ow)
     z = jnp.zeros((batch,))
     f = jnp.zeros((batch,), bool)
     return {"theta": z, "fh": f, "fv": f,
-            "cy": jnp.floor((rh - policy.crop) / 2.0),
-            "cx": jnp.floor((rw - policy.crop) / 2.0),
+            "cy": jnp.floor((rh - out) / 2.0),
+            "cx": jnp.floor((rw - out) / 2.0),
             "rh": rh, "rw": rw, "oh": oh, "ow": ow}
 
 
@@ -336,14 +348,33 @@ def augment_twice(key: jax.Array, image: jnp.ndarray, label: Optional[jnp.ndarra
 
 def center_crop(image: jnp.ndarray, label: Optional[jnp.ndarray], crop: int,
                 sizes: Optional[jnp.ndarray] = None,
-                policy: Optional[AugmentPolicy] = None):
+                policy: Optional[AugmentPolicy] = None,
+                out_size: Optional[int] = None):
     """Val transform: deterministic center crop, or plain resize for resize
     policies (reference val transforms, semi_seg/augment.py:35-37,84-87,135-137).
-    Pads if the frame is smaller than the crop."""
+    Pads if the frame is smaller than the crop.
+
+    `out_size` > crop: produce a larger static canvas with the resized frame
+    centered — used by the shortest-side val resize (Resize(224), prostate)
+    whose frame can exceed 224 on the long side of non-square slices."""
     if policy is None:
         policy = AugmentPolicy(crop=crop)
-    params = center_geometric(image.shape[0], policy, image.shape[1], sizes)
-    return apply_geometric(image, label, params, policy.crop, max_degrees=0.0)
+    out = policy.crop if out_size is None else out_size
+    params = center_geometric(image.shape[0], policy, image.shape[1], sizes, out)
+    return apply_geometric(image, label, params, out, max_degrees=0.0)
+
+
+def frame_pixel_mask(params: Dict[str, jnp.ndarray], out_size: int) -> jnp.ndarray:
+    """[B, out, out] 1/0 mask of output pixels that lie INSIDE the resized
+    frame [rh, rw] under the centered placement of `center_geometric` — the
+    reference's shortest-side val Resize never produces the padding pixels,
+    so eval loss/dice must exclude them (frame pixels only)."""
+    ys = jnp.arange(out_size, dtype=jnp.float32)[None, :]
+    y = ys + params["cy"][:, None]
+    x = ys + params["cx"][:, None]
+    my = (y >= -0.1) & (y <= params["rh"][:, None] - 0.9)
+    mx = (x >= -0.1) & (x <= params["rw"][:, None] - 0.9)
+    return (my[:, :, None] & mx[:, None, :]).astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------- replayable flips

@@ -27,29 +27,38 @@ _STORE_CACHE: Dict[int, "DeviceStore"] = {}
 
 
 class DeviceStore:
-    def __init__(self, root: SliceDataset):
+    def __init__(self, root: SliceDataset, mesh=None):
         assert root.root is root, "build the store on the ROOT dataset"
         # Pin the root: _STORE_CACHE keys on id(root), which is only stable
         # while the root object is alive — without this reference a collected
         # root's id could be reused by a different dataset and silently serve
         # it the OLD store's arrays.
         self.root = root
+        # multi-chip: the store replicates over the mesh (every chip gathers
+        # its batch shard from its own copy; the datasets are small — ACDC
+        # packed ~125MB — so replication beats a sharded store + collective)
+        dev = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            dev = NamedSharding(mesh, PartitionSpec())
+        put = lambda x: jax.device_put(x, dev)  # noqa: E731
         imgs = root.images if root.images.ndim == 4 else root.images[..., None]
         self.n = imgs.shape[0]
-        self.images = jax.device_put(imgs)              # uint8 [N,H,W,C]
-        self.labels = jax.device_put(root.labels)       # uint8 [N,H,W]
-        self.sizes = jax.device_put(root.sizes.astype(np.int32))  # [N,2]
-        self.scan_idx = jax.device_put(root.scan_index.astype(np.int32))
-        self.patient = jax.device_put(root.patient_index.astype(np.int32))
-        self.partition = jax.device_put(root.partitions.astype(np.int32))
-        self.cycle = jax.device_put(root.cycles.astype(np.int32))
+        self.images = put(imgs)              # uint8 [N,H,W,C]
+        self.labels = put(root.labels)       # uint8 [N,H,W]
+        self.sizes = put(root.sizes.astype(np.int32))  # [N,2]
+        self.scan_idx = put(root.scan_index.astype(np.int32))
+        self.patient = put(root.patient_index.astype(np.int32))
+        self.partition = put(root.partitions.astype(np.int32))
+        self.cycle = put(root.cycles.astype(np.int32))
 
     @classmethod
-    def for_dataset(cls, ds: SliceDataset) -> "DeviceStore":
-        """One store per root dataset per process."""
-        key = id(ds.root)
+    def for_dataset(cls, ds: SliceDataset, mesh=None) -> "DeviceStore":
+        """One store per (root dataset, mesh) per process."""
+        key = (id(ds.root),
+               None if mesh is None else tuple(d.id for d in mesh.devices.flat))
         if key not in _STORE_CACHE:
-            _STORE_CACHE[key] = cls(ds.root)
+            _STORE_CACHE[key] = cls(ds.root, mesh=mesh)
         return _STORE_CACHE[key]
 
     def nbytes(self) -> int:

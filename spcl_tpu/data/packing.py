@@ -69,11 +69,27 @@ def pack_png_folder(root_dir: str, name: str, mode: str = "train",
     for d in img_dirs:
         packed = [_fit_canvas(_load_png(d / f"{s}.png"), canvas, False) for s in stems]
         mods.append(np.stack([p[0] for p in packed]))
-        sizes = np.asarray([p[1] for p in packed], np.int32)
+        mod_sizes = np.asarray([p[1] for p in packed], np.int32)
+        if sizes is None:
+            sizes = mod_sizes  # first modality defines the stored extents
+        elif not np.array_equal(sizes, mod_sizes):
+            bad = np.nonzero((sizes != mod_sizes).any(axis=1))[0][0]
+            raise ValueError(
+                f"modality {d.name!r} slice {stems[bad]!r} extent "
+                f"{tuple(mod_sizes[bad])} != {tuple(sizes[bad])} from "
+                f"{image_folders[0]!r}: multi-modal folders must agree on "
+                f"per-slice dims (the extents drive on-device Resize geometry)")
     images = mods[0] if len(mods) == 1 else np.stack(mods, axis=-1)
     if gt_dir.exists():
-        labels = np.stack([_fit_canvas(_load_png(gt_dir / f"{s}.png"), canvas, True)[0]
-                           for s in stems])
+        gt_packed = [_fit_canvas(_load_png(gt_dir / f"{s}.png"), canvas, True)
+                     for s in stems]
+        labels = np.stack([p[0] for p in gt_packed])
+        gt_sizes = np.asarray([p[1] for p in gt_packed], np.int32)
+        if not np.array_equal(sizes, gt_sizes):
+            bad = np.nonzero((sizes != gt_sizes).any(axis=1))[0][0]
+            raise ValueError(
+                f"gt slice {stems[bad]!r} extent {tuple(gt_sizes[bad])} != "
+                f"image extent {tuple(sizes[bad])}")
     else:
         labels = np.zeros(images.shape[:3], images.dtype)
     ds = SliceDataset(name=name, images=images.astype(np.uint8),

@@ -125,23 +125,35 @@ def _rotate_3shear(img: jnp.ndarray, lab: Optional[jnp.ndarray],
                    theta: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
                    max_degrees: float):
     """Rotation by -theta inverse map about per-sample center (cy, cx):
-    V(u) -> H(v) -> V(u), u = tan(theta/2), v = -sin(theta)."""
+    V(u) -> H(v) -> V(u), u = tan(theta/2), v = -sin(theta).
+
+    The working buffer is PADDED by the static shear bounds before the three
+    passes and sliced back afterwards: an intermediate shear can carry content
+    outside the original H x W frame even when its final (rotated) position is
+    inside — without the pad those pixels were zero-filled (wedges along the
+    frame edges at large angles; ADVICE round 2). Bounds compound pass over
+    pass: the H shear sees rows the first V displaced (|y-cy| <= m/2 + ky0),
+    and the final V sees columns the H displaced (|x-cx| <= m/2 + kx)."""
     b, h, w = img.shape[:3]
     u = jnp.tan(theta / 2.0)
     v = -jnp.sin(theta)
     t_max = math.tan(math.radians(max_degrees) / 2.0)
     s_max = math.sin(math.radians(max_degrees))
-    ky = int(math.ceil(t_max * max(h, w) / 2.0)) + 1
-    kx = int(math.ceil(s_max * max(h, w) / 2.0)) + 1
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-    ys = jnp.arange(h, dtype=jnp.float32)[None, :]
-    off_v = u[:, None] * (xs - cx[:, None])  # [B, W]: y-shift per column
-    off_h = v[:, None] * (ys - cy[:, None])  # [B, H]: x-shift per row
+    m = max(h, w)
+    ky0 = int(math.ceil(t_max * m / 2.0)) + 1
+    kx = int(math.ceil(s_max * (m / 2.0 + ky0))) + 1
+    ky = int(math.ceil(t_max * (m / 2.0 + kx))) + 1
+    xs = (jnp.arange(w + 2 * kx, dtype=jnp.float32) - kx)[None, :]
+    ys = (jnp.arange(h + 2 * ky, dtype=jnp.float32) - ky)[None, :]
+    off_v = u[:, None] * (xs - cx[:, None])  # [B, W+2kx]: y-shift per column
+    off_h = v[:, None] * (ys - cy[:, None])  # [B, H+2ky]: x-shift per row
 
     def run(x, nearest):
+        x = jnp.pad(x, [(0, 0), (ky, ky), (kx, kx), (0, 0)])
         x = _shift_accum(x, off_v, ky, axis=1, nearest=nearest)
         x = _shift_accum(x, off_h, kx, axis=2, nearest=nearest)
-        return _shift_accum(x, off_v, ky, axis=1, nearest=nearest)
+        x = _shift_accum(x, off_v, ky, axis=1, nearest=nearest)
+        return x[:, ky:ky + h, kx:kx + w]
 
     out_img = run(img, nearest=False)
     out_lab = None

@@ -128,7 +128,8 @@ def build_trainer(config: Dict, *, save_dir: Optional[str] = None,
                   two_stage=bool(trainer_cfg.get("two_stage", False)),
                   disable_bn=bool(trainer_cfg.get("disable_bn", False)),
                   device_data=bool(trainer_cfg.get("device_data", True)),
-                  defer_reads=bool(trainer_cfg.get("defer_reads", False)))
+                  defer_reads=bool(trainer_cfg.get("defer_reads", False)),
+                  mesh=trainer_cfg.get("mesh", 0))
 
     if name.startswith("pretrain"):
         cl_cfg = config.get("ContrastiveLoaderParams", {})

@@ -187,47 +187,73 @@ def self_paced_supcon_loss(z1: jnp.ndarray, z2: jnp.ndarray, *,
 
 
 # --------------------------------------------------------------------------- soft-weighted family
+def _row_mean(row: jnp.ndarray, row_ok: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Mean over rows; with a row mask, mean over the unmasked rows only
+    (padded batches: pad rows contribute nothing and don't dilute)."""
+    if row_ok is None:
+        return jnp.mean(row)
+    return jnp.sum(row * row_ok) / jnp.maximum(jnp.sum(row_ok), 1.0)
+
+
+def _valid2(valid: Optional[jnp.ndarray], n: int) -> Optional[jnp.ndarray]:
+    if valid is None:
+        return None
+    return jnp.concatenate([valid, valid]).astype(jnp.float32)
+
+
 def supcon_loss_in_mode(z1: jnp.ndarray, z2: jnp.ndarray, *,
                         target: Optional[jnp.ndarray] = None,
                         pos_mask: Optional[jnp.ndarray] = None,
+                        valid: Optional[jnp.ndarray] = None,
                         temperature: float = 0.07) -> jnp.ndarray:
     """SupConLoss2 "in" mode (reference contrast_loss.py:95-97):
-    loss_i = -log(pos_sum_i / (pos_sum_i + neg_sum_i)) / pos_count_i."""
+    loss_i = -log(pos_sum_i / (pos_sum_i + neg_sum_i)) / pos_count_i.
+    `valid` [N]: 1/0 padding mask (padded rows/columns are excluded)."""
     n = z1.shape[0]
-    pos2, neg2 = _build_masks(n, pos_mask, target, None)
+    pos2, neg2 = _build_masks(n, pos_mask, target, valid)
     sim_logits = _sim_logits(z1, z2, temperature)
     sim_exp = jnp.exp(sim_logits)
     pos_sum = jnp.sum(sim_exp * pos2, axis=1)
     neg_sum = jnp.sum(sim_exp * neg2, axis=1)
-    pos_count = jnp.maximum(jnp.sum(pos2, axis=1), 1.0)
-    return jnp.mean(-jnp.log(pos_sum / (pos_sum + neg_sum)) / pos_count)
+    pos_count_raw = jnp.sum(pos2, axis=1)
+    pos_count = jnp.maximum(pos_count_raw, 1.0)
+    row = -jnp.log(jnp.maximum(pos_sum, _EPS) / jnp.maximum(pos_sum + neg_sum, _EPS)) / pos_count
+    v2 = _valid2(valid, n)
+    row_ok = None if v2 is None else v2 * (pos_count_raw > 0)
+    return _row_mean(row, row_ok)
 
 
 def soft_supcon_loss(z1: jnp.ndarray, z2: jnp.ndarray, *, pos_weight: jnp.ndarray,
                      temperature: float = 0.07, out_mode: bool = True,
-                     enable_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     enable_mask: Optional[jnp.ndarray] = None,
+                     valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Soft-weighted SupCon (reference SupConLoss3, contrast_loss.py:130-181):
     per-pair FLOAT weights instead of a binary mask.
 
     pos_weight: [N, N] weights (tiled 2x2 internally).
     enable_mask: optional [2N, 2N] 0/1 mask restricting the denominator
     (SupConLoss4's block assembly, contrast_loss.py:207-267).
+    valid: [N] 1/0 padding mask — padded rows/columns drop out of the
+    weights, the denominator and the row mean.
     """
     n = z1.shape[0]
     w2 = jnp.tile(pos_weight.astype(jnp.float32), (2, 2))
     not_diag = 1.0 - jnp.eye(2 * n, dtype=jnp.float32)
+    v2 = _valid2(valid, n)
+    if v2 is not None:
+        not_diag = not_diag * (v2[:, None] * v2[None, :])
     sim_logits = _sim_logits(z1, z2, temperature)
     sim_exp = jnp.exp(sim_logits)
     denom_mask = not_diag if enable_mask is None else not_diag * enable_mask
     denominator = jnp.sum(sim_exp * denom_mask, axis=1, keepdims=True)
-    exp_div = sim_exp / denominator
+    exp_div = sim_exp / jnp.maximum(denominator, _EPS)
     w2 = w2 * not_diag
     w_sum = jnp.maximum(jnp.sum(w2, axis=1), _EPS)
     if out_mode:
         row = jnp.sum(jnp.log(exp_div + _EPS) * w2, axis=1) / w_sum
     else:
         row = jnp.log(jnp.sum(exp_div * w2, axis=1) + _EPS) / w_sum
-    return -jnp.mean(row)
+    return -_row_mean(row, v2)
 
 
 def assemble_block_weights(n: int, *, one2one: Optional[jnp.ndarray] = None,
@@ -255,22 +281,26 @@ def block_soft_supcon_loss(z1: jnp.ndarray, z2: jnp.ndarray, *,
                            one2one_weight: Optional[jnp.ndarray] = None,
                            two2two_weight: Optional[jnp.ndarray] = None,
                            one2two_weight: Optional[jnp.ndarray] = None,
-                           temperature: float = 0.07, out_mode: bool = True) -> jnp.ndarray:
+                           temperature: float = 0.07, out_mode: bool = True,
+                           valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """SupConLoss4 parity: block-assembled soft weights with an enable mask
-    restricting the denominator to active blocks."""
+    restricting the denominator to active blocks. `valid` [N]: padding mask."""
     n = z1.shape[0]
     pos_weight, enable = assemble_block_weights(
         n, one2one=one2one_weight, two2two=two2two_weight, one2two=one2two_weight)
     # soft_supcon_loss tiles [N,N]; here we already have [2N,2N]: inline it
     not_diag = 1.0 - jnp.eye(2 * n, dtype=jnp.float32)
+    v2 = _valid2(valid, n)
+    if v2 is not None:
+        not_diag = not_diag * (v2[:, None] * v2[None, :])
     sim_logits = _sim_logits(z1, z2, temperature)
     sim_exp = jnp.exp(sim_logits)
     denominator = jnp.sum(sim_exp * not_diag * enable, axis=1, keepdims=True)
-    exp_div = sim_exp / denominator
+    exp_div = sim_exp / jnp.maximum(denominator, _EPS)
     w2 = pos_weight * not_diag
     w_sum = jnp.maximum(jnp.sum(w2, axis=1), _EPS)
     if out_mode:
         row = jnp.sum(jnp.log(exp_div + _EPS) * w2, axis=1) / w_sum
     else:
         row = jnp.log(jnp.sum(exp_div * w2, axis=1) + _EPS) / w_sum
-    return -jnp.mean(row)
+    return -_row_mean(row, v2)

@@ -64,12 +64,16 @@ def _as_int_label(lab):
     return lab.astype(jnp.int32)
 
 
-def _masked_ce(logits, onehot, valid):
-    """Pixel-mean CE over valid slices (kl_div(softmax, onehot) parity)."""
+def _masked_ce(logits, onehot, valid, pixel_mask=None):
+    """Pixel-mean CE over valid slices (kl_div(softmax, onehot) parity).
+    `pixel_mask` [B, h, w] additionally restricts to in-frame pixels (the
+    shortest-side val-resize path pads non-square frames)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.sum(onehot * logp, axis=-1)  # [B, h, w]
-    m = valid[:, None, None]
-    return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m) * ce.shape[1] * ce.shape[2], 1.0)
+    m = valid[:, None, None] * jnp.ones_like(ce)
+    if pixel_mask is not None:
+        m = m * pixel_mask
+    return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 def _apply_model(model, params, batch_stats, x, *, train, until=None, update_stats=True):
@@ -101,22 +105,39 @@ def _ema_after_step(state: TrainState, new_params, alpha_max: float):
 # =============================================================================== eval
 def build_eval_step(model, *, num_classes: int, crop: int,
                     store: Optional[DeviceStore] = None,
-                    val_policy: Optional[AugmentPolicy] = None) -> Callable:
+                    val_policy: Optional[AugmentPolicy] = None,
+                    out_size: Optional[int] = None) -> Callable:
     """Per-scan eval step (reference EvalEpocher, new_epocher.py:56-97):
     val transform (center crop, or plain resize for the resize-based
-    datasets) -> forward -> masked CE + per-slice dice stats."""
+    datasets) -> forward -> masked CE + per-slice dice stats.
+
+    `out_size` > crop: shortest-side val resize (Resize(int), prostate) on
+    non-square slices — the frame pads into the static canvas and loss/dice
+    restrict to frame pixels, matching the reference's resize-only val
+    geometry (semi_seg/augment.py:84-87)."""
+    shortest_side = val_policy is not None and isinstance(val_policy.resize, int)
+    out = crop if out_size is None else int(out_size)
 
     @jax.jit
     def _eval(params, batch_stats, batch, store_arrays):
         batch = _resolve_batch(store_arrays, batch)
-        img, lab = center_crop(_as_float_image(batch["image"]),
-                               _as_int_label(batch["label"]), crop,
-                               sizes=batch.get("size"), policy=val_policy)
+        from ..data.augment import center_geometric, frame_pixel_mask, apply_geometric
+        pol = val_policy if val_policy is not None else AugmentPolicy(crop=crop)
+        geo = center_geometric(batch["image"].shape[0], pol,
+                               batch["image"].shape[1], batch.get("size"), out)
+        img, lab = apply_geometric(_as_float_image(batch["image"]),
+                                   _as_int_label(batch["label"]), geo, out,
+                                   max_degrees=0.0)
+        pix = frame_pixel_mask(geo, out) if shortest_side else None
         acts, _ = _apply_model(model, params, batch_stats, img, train=False)
         logits = acts["logits"]
         onehot = class2one_hot(lab, num_classes)
-        loss = _masked_ce(logits, onehot, batch["valid"])
+        loss = _masked_ce(logits, onehot, batch["valid"], pixel_mask=pix)
         pred = jnp.argmax(logits, axis=-1)
+        if pix is not None:
+            # outside-frame pixels exist only in our padding; force them to
+            # background so classes >= 1 match the reference's frame-only dice
+            pred = pred * pix.astype(pred.dtype)
         inter, union = dice_stats_from_labels(pred, lab, num_classes, batch["valid"])
         return {"loss": loss, "inter": inter, "union": union}
 

@@ -74,7 +74,8 @@ class Trainer:
                  config: Optional[Dict] = None, seed: int = 10,
                  crop: int = 224, data_name: str = "acdc",
                  two_stage: bool = False, disable_bn: bool = False,
-                 device_data: bool = True, defer_reads: bool = False):
+                 device_data: bool = True, defer_reads: bool = False,
+                 mesh=0):
         # device_data: keep the packed datasets resident in HBM and gather
         # batches by index inside the jitted step (the reference's datasets
         # are all <1GB packed). Per-step H2D traffic drops to an index
@@ -89,6 +90,14 @@ class Trainer:
         # degrades dispatch ~60-400x after the first read (CLAUDE.md).
         # Trade-off: checkpoints are only durable at the end of the run.
         self._defer_reads = bool(defer_reads)
+        # mesh: multi-chip data parallelism (SURVEY §2.11/§5.8 — the
+        # reference's DDP is vestigial scaffolding; here it's native).
+        # 0/None = single device; "auto" = all visible devices; N = first N.
+        # The TrainState replicates, batches shard on axis 0 (batches pad to
+        # a device multiple with valid=0), and GSPMD inserts the gradient
+        # psum + contrastive-embedding all_gather over ICI.
+        self._mesh_spec = mesh
+        self._mesh = None
         self._model = model
         self._labeled_loader = labeled_loader
         self._unlabeled_loader = unlabeled_loader
@@ -162,7 +171,52 @@ class Trainer:
         channels = imgs.shape[3] if imgs.ndim == 4 else 1
         return (2, canvas, canvas, channels)
 
+    def _build_mesh(self):
+        spec = self._mesh_spec
+        if spec is None or spec == 0 or spec is False:
+            return None
+        from ..parallel import make_mesh
+        n = None if spec in ("auto", True) else int(spec)
+        mesh = make_mesh(n)
+        if mesh.devices.size == 1:
+            return None  # one device: the plain path is the same program
+        logger.info("data mesh over %d devices: %s", mesh.devices.size,
+                    [d.id for d in mesh.devices.flat])
+        return mesh
+
+    # ---- mesh plumbing ----------------------------------------------------
+    @property
+    def n_shards(self) -> int:
+        return 1 if self._mesh is None else int(self._mesh.devices.size)
+
+    def _pad_multiple(self, idx: np.ndarray) -> np.ndarray:
+        """Right-pad the batch axis (last dim) with -1 to a device multiple.
+        Pad entries carry valid=0 through every loss/meter (gather_from)."""
+        n = self.n_shards
+        rem = (-idx.shape[-1]) % n
+        if rem == 0:
+            return idx
+        pad = np.full(idx.shape[:-1] + (rem,), -1, idx.dtype)
+        return np.concatenate([idx, pad], axis=-1)
+
+    def _put_batch(self, tree, batch_dims: int = 1):
+        """device_put with axis-(batch_dims-1) data sharding under the mesh
+        (batch_dims=2: [num_batches, B] epoch matrices shard on axis 1)."""
+        if self._mesh is None:
+            return jax.device_put(tree)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P("data") if batch_dims == 1 else P(None, "data")
+        sh = NamedSharding(self._mesh, spec)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+    def _put_replicated(self, tree):
+        if self._mesh is None:
+            return jax.device_put(tree)
+        from ..parallel import replicate
+        return replicate(tree, self._mesh)
+
     def init(self) -> None:
+        self._mesh = self._build_mesh()
         optim_cfg = dict(self._config.get("Optim", {}))
         sched_cfg = self._config.get("Scheduler")
         base_lr = float(optim_cfg.get("lr", 1e-7))
@@ -221,6 +275,8 @@ class Trainer:
         needs_teacher = any(h.needs_teacher for h in self._hooks)
         self._state = self._create_state(model_params, batch_stats, hook_params,
                                          needs_teacher)
+        if self._mesh is not None:
+            self._state = self._put_replicated(self._state)
         self._build_steps()
         self.__initialized__ = True
 
@@ -240,23 +296,44 @@ class Trainer:
     def _train_store(self):
         if not self._device_data:
             return None
-        return DeviceStore.for_dataset(self._labeled_loader.dataset)
+        return DeviceStore.for_dataset(self._labeled_loader.dataset, mesh=self._mesh)
 
     def _eval_store(self):
         if not self._device_data:
             return None
-        return DeviceStore.for_dataset(self._val_loader.dataset)
+        return DeviceStore.for_dataset(self._val_loader.dataset, mesh=self._mesh)
+
+    def _eval_out_size(self) -> int:
+        """Static eval canvas. Shortest-side val policies (Resize(int)) can
+        produce frames longer than `crop` on one side of non-square slices;
+        size the canvas from the datasets' stored extents (square data ->
+        crop, today's behavior)."""
+        pol = self.val_policy
+        if not isinstance(pol.resize, int):
+            return self._crop
+        out = self._crop
+        for loader in (self._val_loader, self._test_loader):
+            if loader is None:
+                continue
+            sizes = np.asarray(loader.dataset.sizes, np.float64)
+            short = sizes.min(axis=1)
+            long = sizes.max(axis=1)
+            out = max(out, int(np.max(np.floor(pol.resize * long / short))))
+        # UNet's decoder upsamples by exact x2 per stage: keep every pooled
+        # dim even (4 pool levels -> multiple of 16); extra padding is masked
+        return ((out + 15) // 16) * 16
 
     def _step_cache_key(self, flavor: str):
         hooks = self._hooks if self.activate_hooks else []
         store = self._train_store() if flavor != "eval" else self._eval_store()
         return (
             flavor, self._model,
+            None if self._mesh is None else tuple(d.id for d in self._mesh.devices.flat),
             id(store.images) if store is not None else None,
             _freeze(self._config.get("Optim", {})),
             _freeze(self._config.get("Scheduler", {})),
             self._max_epoch, self._num_batches, self.train_policy,
-            self.val_policy, self._crop,
+            self.val_policy, self._crop, self._eval_out_size(),
             self._two_stage, self._disable_bn,
             tuple(self._trainable_stages) if self._trainable_stages else None,
             tuple(self._hook_cache_key(h) for h in hooks),
@@ -280,7 +357,8 @@ class Trainer:
             store=self._train_store()))
         self._eval_step = self._cached_step("eval", lambda: build_eval_step(
             self._model, num_classes=num_classes, crop=self._crop,
-            store=self._eval_store(), val_policy=self.val_policy))
+            store=self._eval_store(), val_policy=self.val_policy,
+            out_size=self._eval_out_size()))
 
     # ----------------------------------------------------------------- epochs
     def _hook_scalars(self) -> Dict[str, Dict[str, float]]:
@@ -358,7 +436,7 @@ class Trainer:
         it = iter(loader.sampler)
         rows = [np.asarray(ds.to_global(next(it)), np.int32)
                 for _ in range(self._num_batches)]
-        return np.stack(rows)
+        return self._pad_multiple(np.stack(rows))
 
     def _epoch_matrices(self, scalars):
         """(host_matrices, device_step_args) for the epoch-batched fast path."""
@@ -367,9 +445,10 @@ class Trainer:
         if self.uses_unlabeled and self._unlabeled_loader is not None:
             mat_u = self._index_matrix(self._unlabeled_loader)
             host.append(mat_u)
-            dev = jax.device_put((mat_l, mat_u, scalars))
+            dev = (self._put_batch(mat_l, 2), self._put_batch(mat_u, 2),
+                   self._put_replicated(scalars))
             return host, dev
-        dev = jax.device_put((mat_l, scalars))
+        dev = (self._put_batch(mat_l, 2), self._put_replicated(scalars))
         return host, dev
 
     def _train_streams(self):
@@ -384,16 +463,27 @@ class Trainer:
             def idx_stream(loader):
                 ds = loader.dataset
                 for local in loader.sampler:
-                    yield np.asarray(ds.to_global(local), np.int32)
+                    yield self._pad_multiple(np.asarray(ds.to_global(local), np.int32))
 
             lab = idx_stream(self._labeled_loader)
             unl = (idx_stream(self._unlabeled_loader)
                    if self._unlabeled_loader is not None else None)
             return lab, unl
+        sharding = None
+        batches = iter  # plain loader iteration off-mesh
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sharding = NamedSharding(self._mesh, P("data"))
+
+            def batches(loader):  # noqa: F811 — mesh: pad to a device multiple
+                for local in loader.sampler:
+                    yield loader.dataset.batch(self._pad_multiple(np.asarray(local)))
         lab = device_prefetch(
-            islice(iter(self._labeled_loader), self._num_batches), depth=3)
+            islice(batches(self._labeled_loader), self._num_batches), depth=3,
+            device=sharding)
         unl = (device_prefetch(
-            islice(iter(self._unlabeled_loader), self._num_batches), depth=3)
+            islice(batches(self._unlabeled_loader), self._num_batches), depth=3,
+            device=sharding)
             if self._unlabeled_loader is not None else None)
         return lab, unl
 
@@ -443,6 +533,21 @@ class Trainer:
                         meters.register_meter(k, AverageValueMeter())
                     meters[k].add(float(v))
 
+    def _eval_batches(self, loader: HostLoader):
+        """Host-streaming eval batches with device prefetch (mesh: padded to
+        a device multiple + axis-0 sharded)."""
+        from ..data.loader import device_prefetch
+        if self._mesh is None:
+            return device_prefetch(iter(loader), depth=3)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(self._mesh, P("data"))
+
+        def batches():
+            for local in loader.sampler:
+                yield loader.dataset.batch(self._pad_multiple(np.asarray(local)))
+
+        return device_prefetch(batches(), depth=3, device=sharding)
+
     def _run_eval_epoch(self, loader: HostLoader) -> (Dict, float):
         C = self._model.num_classes
         meters = MeterInterface(default_focus="eval")
@@ -454,13 +559,14 @@ class Trainer:
         if self._device_data:
             ds = loader.dataset
             for i, local in enumerate(sampler):
-                gidx = np.asarray(ds.to_global(local), np.int32)
+                gidx = self._pad_multiple(np.asarray(ds.to_global(local), np.int32))
                 out = self._eval_step(
-                    self._state.params["model"], self._state.batch_stats, gidx)
+                    self._state.params["model"], self._state.batch_stats,
+                    self._put_batch(gidx))
                 pending.append((out, (gidx >= 0).astype(np.float32),
                                 sampler.scan_of_batch(i)))
         else:
-            for i, batch in enumerate(device_prefetch(iter(loader), depth=3)):
+            for i, batch in enumerate(self._eval_batches(loader)):
                 out = self._eval_step(
                     self._state.params["model"], self._state.batch_stats, batch)
                 pending.append((out, batch["valid"], sampler.scan_of_batch(i)))
@@ -485,9 +591,10 @@ class Trainer:
         ds = loader.dataset
         outs, valids, scans = [], [], []
         for i, local in enumerate(sampler):
-            gidx = np.asarray(ds.to_global(local), np.int32)
+            gidx = self._pad_multiple(np.asarray(ds.to_global(local), np.int32))
             outs.append(self._eval_step(
-                self._state.params["model"], self._state.batch_stats, gidx))
+                self._state.params["model"], self._state.batch_stats,
+                self._put_batch(gidx)))
             valids.append((gidx >= 0).astype(np.float32))
             scans.append(sampler.scan_of_batch(i))
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
@@ -712,6 +819,9 @@ class Trainer:
     def resume_from_path(self, path: str) -> None:
         assert self.__initialized__, "init() before resume"
         self._state, meta = load_checkpoint(path, self._state)
+        if self._mesh is not None:
+            # from_bytes leaves host numpy in the tree: restore replication
+            self._state = self._put_replicated(self._state)
         self._cur_epoch = int(meta.get("cur_epoch", 0))
         self._best_score = float(meta.get("best_score", -np.inf))
         if "keychain" in meta:
@@ -753,7 +863,8 @@ class FineTuneTrainer(Trainer):
             store=self._train_store()))
         self._eval_step = self._cached_step("eval", lambda: build_eval_step(
             self._model, num_classes=num_classes, crop=self._crop,
-            store=self._eval_store(), val_policy=self.val_policy))
+            store=self._eval_store(), val_policy=self.val_policy,
+            out_size=self._eval_out_size()))
 
     def _train_dispatch(self, batch_l, unl_iter, key, scalars):
         return self._train_step(self._state, batch_l, key, scalars)
@@ -779,7 +890,8 @@ class MixUpTrainer(FineTuneTrainer):
             store=self._train_store()))
         self._eval_step = self._cached_step("eval", lambda: build_eval_step(
             self._model, num_classes=num_classes, crop=self._crop,
-            store=self._eval_store(), val_policy=self.val_policy))
+            store=self._eval_store(), val_policy=self.val_policy,
+            out_size=self._eval_out_size()))
 
 
 class AdversarialTrainer(Trainer):
@@ -814,7 +926,8 @@ class AdversarialTrainer(Trainer):
             store=self._train_store())
         self._eval_step = build_eval_step(self._model, num_classes=num_classes,
                                           crop=self._crop, store=self._eval_store(),
-                                          val_policy=self.val_policy)
+                                          val_policy=self.val_policy,
+                                          out_size=self._eval_out_size())
 
     def _configure_train_meters(self, meters: MeterInterface) -> None:
         super()._configure_train_meters(meters)
@@ -874,7 +987,8 @@ class _PretrainTrainer(Trainer):
                 store=self._train_store())
         self._eval_step = build_eval_step(self._model, num_classes=self._model.num_classes,
                                           crop=self._crop, store=self._eval_store(),
-                                          val_policy=self.val_policy)
+                                          val_policy=self.val_policy,
+                                          out_size=self._eval_out_size())
 
     def _run_train_epoch(self) -> Dict:
         meters = MeterInterface(default_focus=self.train_meter_focus)
@@ -890,14 +1004,15 @@ class _PretrainTrainer(Trainer):
         dumped_matrices = None
         if self._device_data:
             mat = self._index_matrix(self._contrastive_loader)
-            dev_mat, dev_scalars = jax.device_put((mat, scalars))
+            dev_mat, dev_scalars = (self._put_batch(mat, 2),
+                                    self._put_replicated(scalars))
             if getattr(self, "_matrix_probe", None) is not None:
                 # batch 0 of this epoch: same index row + step key as the step
                 key0 = jax.random.fold_in(
                     self._state.base_key, (self._cur_epoch - 1) * self._num_batches)
                 dumped_matrices = self._matrix_probe(
                     self._state.params, self._state.batch_stats,
-                    jnp.asarray(mat[0]), key0, scalars)
+                    self._put_batch(np.asarray(mat[0])), key0, scalars)
             t0 = time.time()
             for b in range(self._num_batches):
                 n_slices += 2 * mat.shape[1]
@@ -975,7 +1090,8 @@ class _PretrainTrainer(Trainer):
         for self._cur_epoch in range(start, self._max_epoch + 1):
             scalars = self._hook_scalars()
             mat = self._index_matrix(self._contrastive_loader)
-            dev_mat, dev_scalars = jax.device_put((mat, scalars))
+            dev_mat, dev_scalars = (self._put_batch(mat, 2),
+                                    self._put_replicated(scalars))
             t0 = time.time()
             pending = []
             for b in range(self._num_batches):

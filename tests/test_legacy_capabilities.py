@@ -60,6 +60,38 @@ def test_block_soft_supcon(zpair):
     assert np.isfinite(float(loss))
 
 
+def test_padded_batch_matches_unpadded_legacy_losses(zpair):
+    """VERDICT r2 item 8: the soft/in-mode family must support the padded
+    batches ContrastBatchSampler emits (samplers.py:121-171) — padding with
+    valid=0 (duplicated embeddings, the DeviceStore gather contract) must
+    reproduce the unpadded loss exactly for all three legacy losses."""
+    z1, z2, labels = zpair
+    n, pad = z1.shape[0], 4
+    # pad with DUPLICATES of row 0 (what gather_from yields for idx=-1)
+    zp1 = jnp.concatenate([z1, jnp.tile(z1[:1], (pad, 1))])
+    zp2 = jnp.concatenate([z2, jnp.tile(z2[:1], (pad, 1))])
+    lp = jnp.concatenate([labels, jnp.full((pad,), -1, labels.dtype)])
+    v = jnp.concatenate([jnp.ones(n), jnp.zeros(pad)]).astype(jnp.float32)
+
+    ref_in = supcon_loss_in_mode(z1, z2, target=labels)
+    got_in = supcon_loss_in_mode(zp1, zp2, target=lp, valid=v)
+    np.testing.assert_allclose(float(got_in), float(ref_in), rtol=1e-5)
+
+    w = pairwise_mask_from_labels(labels)
+    wp = jnp.zeros((n + pad, n + pad)).at[:n, :n].set(w)
+    for out_mode in (True, False):
+        ref_soft = soft_supcon_loss(z1, z2, pos_weight=w, out_mode=out_mode)
+        got_soft = soft_supcon_loss(zp1, zp2, pos_weight=wp, out_mode=out_mode, valid=v)
+        np.testing.assert_allclose(float(got_soft), float(ref_soft), rtol=1e-5,
+                                   err_msg=f"out_mode={out_mode}")
+
+    ref_blk = block_soft_supcon_loss(z1, z2, one2one_weight=w, two2two_weight=w,
+                                     one2two_weight=w)
+    got_blk = block_soft_supcon_loss(zp1, zp2, one2one_weight=wp, two2two_weight=wp,
+                                     one2two_weight=wp, valid=v)
+    np.testing.assert_allclose(float(got_blk), float(ref_blk), rtol=1e-5)
+
+
 def test_small_patch_iic():
     rng = np.random.RandomState(1)
     p1 = jax.nn.softmax(jnp.asarray(rng.randn(2, 48, 48, 4).astype(np.float32)), -1)

@@ -58,6 +58,37 @@ def test_pack_png_folder_roundtrip(tmp_path):
     assert ds2.name == "acdc"
 
 
+def test_multimodal_pack_checks_extents(tmp_path):
+    """ADVICE round 2: per-slice extents must come from the FIRST modality and
+    every other modality (and gt) must agree — a differing folder used to
+    silently overwrite the stored sizes that drive on-device Resize."""
+    import pytest
+    from PIL import Image
+    _write_png_tree(tmp_path / "WHS", scans=2, slices=3)
+    # matching second modality packs fine, with one sizes table
+    t2 = tmp_path / "WHS" / "train" / "t2"
+    t2.mkdir()
+    rng = np.random.default_rng(1)
+    for p in (tmp_path / "WHS" / "train" / "img").glob("*.png"):
+        Image.fromarray(rng.integers(0, 255, (48, 40), np.uint8), mode="L").save(t2 / p.name)
+    ds = pack_png_folder(str(tmp_path / "WHS"), "mmwhsct", mode="train",
+                         canvas=CANVAS, image_folders=("img", "t2"))
+    assert ds.images.shape[-1] == 2
+    np.testing.assert_array_equal(ds.sizes, np.tile([[48, 40]], (6, 1)))
+    # a mismatched modality fails loudly
+    bad = next(iter(t2.glob("*.png")))
+    Image.fromarray(rng.integers(0, 255, (30, 30), np.uint8), mode="L").save(bad)
+    with pytest.raises(ValueError, match="extent"):
+        pack_png_folder(str(tmp_path / "WHS"), "mmwhsct", mode="train",
+                        canvas=CANVAS, image_folders=("img", "t2"))
+    # a mismatched gt fails loudly too
+    _write_png_tree(tmp_path / "B", scans=1, slices=2)
+    bad_gt = next(iter((tmp_path / "B" / "train" / "gt").glob("*.png")))
+    Image.fromarray(rng.integers(0, 4, (30, 30), np.uint8), mode="L").save(bad_gt)
+    with pytest.raises(ValueError, match="gt"):
+        pack_png_folder(str(tmp_path / "B"), "acdc", mode="train", canvas=CANVAS)
+
+
 def test_packed_metadata_matches_synthetic_contract(tmp_path):
     """Scan/partition/cycle vectors derived from PNG stems equal the ones the
     synthetic fixture computes for the same stems (one shared code path in

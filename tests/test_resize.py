@@ -56,10 +56,14 @@ def test_exact_resize_matches_torch_bilinear_and_nearest():
         np.testing.assert_array_equal(lout[b], lgolden)
 
 
-def test_shortest_side_resize_keeps_aspect():
+@pytest.mark.parametrize("hw", [(48, 40), (56, 40)])
+def test_shortest_side_resize_keeps_aspect(hw):
+    """Long-side size must follow torchvision's int() truncation
+    (new_long = int(size * long / short)): (56, 40) -> (44, 32), where
+    round() would give 45 (ADVICE round 2)."""
     import torch
     import torch.nn.functional as F
-    sizes = np.asarray([[48, 40]], np.int32)  # shortest 40 -> 32 => frame (38, 32)
+    sizes = np.asarray([hw], np.int32)
     img, _ = _packed(sizes)
     pol = AugmentPolicy(crop=32, resize=32, rot_degrees=0.0,
                         hflip=False, vflip=False, jitter=False)
@@ -67,7 +71,7 @@ def test_shortest_side_resize_keeps_aspect():
                          sizes=jnp.asarray(sizes), policy=pol)
     h, w = sizes[0]
     oy, ox = (CANVAS - h) // 2, (CANVAS - w) // 2
-    rh, rw = round(h * 32 / w), 32
+    rh, rw = int(h * 32 / w), 32  # torchvision truncation
     region = torch.from_numpy(img[0, oy:oy + h, ox:ox + w, 0])[None, None]
     full = F.interpolate(region, size=(rh, rw), mode="bilinear",
                          align_corners=False)[0, 0].numpy()
@@ -184,15 +188,59 @@ def test_crop_override_scales_resize_targets(tmp_path):
                          test_loader=None, save_dir=str(tmp_path), crop=48,
                          data_name="prostate")
     assert tr.train_policy.resize == 48 and tr.train_policy.crop == 48
-    assert tr.val_policy.resize == (48, 48)
+    assert tr.val_policy.resize == 48  # shortest-side Resize scales with crop
     tr2 = FineTuneTrainer(model=UNet(input_dim=1, num_classes=2, max_channel=128),
                           labeled_loader=lab, unlabeled_loader=unlab, val_loader=val,
                           test_loader=None, save_dir=str(tmp_path / "b"), crop=224,
                           data_name="prostate")
-    assert tr2.train_policy.resize == 224 and tr2.val_policy.resize == (224, 224)
+    assert tr2.train_policy.resize == 224 and tr2.val_policy.resize == 224
 
 
-def test_cutout_erases_one_box():
+def test_frame_pixel_mask_geometry():
+    """Shortest-side val (VERDICT r2 item 7): non-square frames pad into the
+    static canvas; the mask must select exactly the frame pixels."""
+    from spcl_tpu.data.augment import center_geometric, frame_pixel_mask
+    sizes = np.asarray([[56, 40], [40, 40]], np.int32)  # frames (44, 32), (32, 32)
+    pol = AugmentPolicy(crop=32, resize=32, rot_degrees=0.0,
+                        hflip=False, vflip=False, jitter=False)
+    out = 44  # static canvas >= max long side
+    geo = center_geometric(2, pol, CANVAS, jnp.asarray(sizes), out)
+    mask = np.asarray(frame_pixel_mask(geo, out))
+    assert mask.shape == (2, 44, 44)
+    # sample 0: frame (44, 32) centered -> all rows, cols [6, 38)
+    assert mask[0].sum() == 44 * 32
+    assert mask[0, :, 6:38].all() and not mask[0, :, :6].any() and not mask[0, :, 38:].any()
+    # sample 1: frame (32, 32) centered -> rows/cols [6, 38)
+    assert mask[1].sum() == 32 * 32
+    assert mask[1, 6:38, 6:38].all()
+
+
+def test_shortest_side_eval_step_masks_dice():
+    """End-to-end eval step at out_size > crop: padded pixels must not
+    contribute to loss or to the per-class dice stats, and the in-frame
+    prediction must stay close to running the model on the exact frame
+    (conv/upsample boundary context is the one documented deviation)."""
+    import jax
+    from spcl_tpu.models import UNet
+    from spcl_tpu.training.steps import build_eval_step
+
+    model = UNet(input_dim=1, num_classes=3, max_channel=128)
+    sizes = np.asarray([[56, 40]], np.int32)
+    img, lab = _packed(sizes, seed=5)
+    lab = (lab % 3).astype(np.int32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 1)), train=False)
+    pol = AugmentPolicy(crop=32, resize=32, rot_degrees=0.0,
+                        hflip=False, vflip=False, jitter=False)
+    step = build_eval_step(model, num_classes=3, crop=32, val_policy=pol, out_size=48)
+    batch = {"image": jnp.asarray(img), "label": jnp.asarray(lab),
+             "size": jnp.asarray(sizes), "valid": jnp.ones((1,), jnp.float32)}
+    out = step(variables["params"], variables.get("batch_stats", {}), batch)
+    assert np.isfinite(float(out["loss"]))
+    inter, union = np.asarray(out["inter"]), np.asarray(out["union"])
+    assert inter.shape == (1, 3) and np.isfinite(union).all()
+    # dice pixel budget can't exceed the frame area (pad excluded):
+    # union[c] = |pred==c| + |lab==c| summed over frame pixels only for c>=1
+    assert union[0, 1:].sum() <= 2 * 44 * 32
     img = jnp.ones((2, 32, 32, 1), jnp.float32)
     out = np.asarray(apply_cutout(jax.random.PRNGKey(0), img, 6, 10))
     for b in range(2):

@@ -68,8 +68,23 @@ def test_mxu_rotation_close_to_gather(data):
     pol = AugmentPolicy(crop=32, rot_degrees=20.0, hflip=True, vflip=True, jitter=False)
     params = sample_geometric(jax.random.PRNGKey(2), B, pol, S, sizes)
     (ig, lg), (im, lm) = _both(img, lab, params, 32, False, 20.0)
-    assert float(jnp.abs(ig - im).mean()) < 0.01
+    assert float(jnp.abs(ig - im).mean()) < 0.005
     assert float((lg != lm).mean()) < 0.03
+
+
+def test_mxu_45deg_no_edge_wedges(data):
+    """ADVICE round 2: intermediate shear coordinates leaving the working
+    buffer used to zero-fill ~3% of output pixels at 45 deg (wedges along the
+    frame edges). The padded buffer must return real image data wherever the
+    gather reference does."""
+    img, lab, _ = data
+    pol = AugmentPolicy(crop=S, rot_degrees=45.0, hflip=False, vflip=False, jitter=False)
+    params = sample_geometric(jax.random.PRNGKey(7), B, pol, S)
+    (ig, _), (im, _) = _both(img, None, params, S, False, 45.0)
+    ig, im = np.asarray(ig), np.asarray(im)
+    wedge = ((np.abs(im) < 1e-6) & (np.abs(ig) > 0.05)).sum()
+    assert wedge == 0, f"{wedge} zero-filled pixels where gather has data"
+    assert float(np.abs(ig - im).mean()) < 0.005
 
 
 def test_mxu_rotate_after_crop_close(data):
