@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Refined fused-vs-naive crossover measurement: per-config, ONE jitted
+program runs 50 chained loss+grad iterations under lax.scan (the carry is
+updated from the gradient so no iteration can be hoisted/CSE'd), and the
+profiler device plane times that single large program — robust against the
+per-program overhead that makes sub-millisecond single-call traces
+non-monotonic (tmp/crossover_r3.json, first attempt).
+
+Run SOLO on the real TPU: python scripts/measure_crossover2.py
+Writes tmp/crossover2_r3.json.
+"""
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+ITERS = 50
+
+
+def main():
+    from spcl_tpu.losses import self_paced_supcon_loss
+    from spcl_tpu.ops import fused_self_paced_supcon
+    from spcl_tpu.utils.profiling import profile_device_time
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    d = 256
+    results = []
+    for two_n in (128, 256, 512, 1024, 2048, 4096):
+        n = two_n // 2
+        rng = np.random.RandomState(two_n)
+        z1 = rng.randn(n, d).astype(np.float32)
+        z1 /= np.linalg.norm(z1, axis=1, keepdims=True)
+        z2 = rng.randn(n, d).astype(np.float32)
+        z2 /= np.linalg.norm(z2, axis=1, keepdims=True)
+        labels = jnp.asarray(rng.randint(0, 3, n).astype(np.int32))
+        valid = jnp.ones((n,), jnp.float32)
+        z1, z2 = jax.device_put((jnp.asarray(z1), jnp.asarray(z2)))
+        gamma = jnp.asarray(20.0, jnp.float32)
+
+        def naive_loss(a, b):
+            loss, _ = self_paced_supcon_loss(a, b, gamma=gamma, target=labels,
+                                             valid=valid, weight_update="soft")
+            return loss
+
+        def fused_loss(a, b):
+            loss, _ = fused_self_paced_supcon(a, b, gamma=gamma, target=labels,
+                                              valid=valid, weight_update="soft")
+            return loss
+
+        row = {"two_n": two_n, "iters": ITERS}
+        for name, fn in (("naive", naive_loss), ("fused", fused_loss)):
+            vg = jax.value_and_grad(fn, argnums=(0, 1))
+
+            def body(carry, _):
+                a, b = carry
+                loss, (g1, g2) = vg(a, b)
+                # gradient-dependent carry: every iteration does the full
+                # fwd+bwd and cannot be hoisted
+                return (a - 1e-3 * g1, b - 1e-3 * g2), loss
+
+            @jax.jit
+            def scan_prog(a, b):
+                (a, b), losses = jax.lax.scan(body, (a, b), None, length=ITERS)
+                return a, b, losses
+
+            out = scan_prog(z1, z2)  # compile
+            jax.block_until_ready(out)
+
+            def run_one():
+                return scan_prog(z1, z2)
+
+            ms_prog = profile_device_time(run_one, reps=3)
+            ms = ms_prog / ITERS if ms_prog else None
+            row[f"{name}_ms"] = ms
+            print(f"2N={two_n} {name}: {ms} ms/iter ({ms_prog} ms/prog)", flush=True)
+        if row.get("naive_ms") and row.get("fused_ms"):
+            row["speedup"] = row["naive_ms"] / row["fused_ms"]
+        results.append(row)
+
+    out_path = Path(__file__).resolve().parents[1] / "tmp" / "crossover2_r3.json"
+    out_path.parent.mkdir(exist_ok=True)
+    out_path.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

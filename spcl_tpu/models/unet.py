@@ -67,24 +67,51 @@ def stages_up_to(until: Optional[str]) -> Tuple[str, ...]:
     return tuple(keys[: keys.index(until) + 1])
 
 
+class _ConvNCHW(nn.Module):
+    """3x3 bias-free conv on NCHW operands with the SAME param tree as
+    nn.Conv (param "kernel", HWIO shape). Small-C stages run channels-second
+    so the minor (lane) dim is W (224 -> one 256 tile, ~14% pad) instead of
+    the batch axis XLA picks for C<128 NHWC convs (2N=60 -> 128 lanes =
+    2.13x padded HBM traffic on every stage-1/2 tensor; profiled round 3)."""
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[1], self.out_ch), jnp.float32)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NCHW", "HWIO", "NCHW"))
+
+
 class ConvBlock(nn.Module):
-    """(conv3x3 -> BN -> ReLU) x 2, bias-free convs (reference unet.py:67-82)."""
+    """(conv3x3 -> BN -> ReLU) x 2, bias-free convs (reference unet.py:67-82).
+
+    data_format "NCHW" runs the block channels-second (see _ConvNCHW) with an
+    IDENTICAL parameter tree — checkpoints are interchangeable."""
     out_ch: int
     momentum: float = 0.1  # torch convention: running = (1-m)*running + m*batch
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    data_format: str = "NHWC"
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         # `disable_bn` (reference new_epocher.py:216-226) is realized at the
         # apply() level: run with mutable batch_stats and discard the update.
+        nchw = self.data_format == "NCHW"
         for i in range(2):
-            x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=False,
-                        dtype=self.dtype, name=f"conv{i}")(x)
+            if nchw:
+                x = _ConvNCHW(self.out_ch, dtype=self.dtype, name=f"conv{i}")(x)
+            else:
+                x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=False,
+                            dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=1.0 - self.momentum, dtype=jnp.float32,
                              axis_name=self.axis_name if train else None,
                              use_fast_variance=True,  # one-pass stats (E[x^2]-mean^2): same math as torch BN, ~2x cheaper reductions
+                             axis=1 if nchw else -1,
                              name=f"bn{i}")(x)
             x = nn.relu(x)
         return x
@@ -117,6 +144,11 @@ class UNet(nn.Module):
     momentum: float = 0.1
     dtype: jnp.dtype = jnp.float32  # compute dtype; params & BN stay f32
     axis_name: Optional[str] = None  # mesh axis for cross-replica BN stats
+    # "nchw": encoder stages 1-2 (C = max_channel/16, /8 < 128) run
+    # channels-second so W (not the lane-padded batch) is the minor dim —
+    # cuts stage-1/2 HBM traffic ~2x at the reference 2N=60 batch (profiled
+    # round 3). Param tree identical; activations in `acts` stay NHWC.
+    small_c_layout: str = "nhwc"
 
     def channel_dim(self, name: str) -> int:
         return get_channel_dim(name, max_channel=self.max_channel, num_classes=self.num_classes)
@@ -143,15 +175,39 @@ class UNet(nn.Module):
             # cost more than select-and-scatter does. Keep XLA's form.
             return nn.max_pool(v, (2, 2), strides=(2, 2))
 
-        e1 = ConvBlock(self.channel_dim("Conv1"), name="Conv1", **kw)(x, train=train)
-        acts["Conv1"] = e1
-        if until == "Conv1":
-            return acts
-        e2 = ConvBlock(self.channel_dim("Conv2"), name="Conv2", **kw)(pool(e1), train=train)
-        acts["Conv2"] = e2
-        if until == "Conv2":
-            return acts
-        e3 = ConvBlock(self.channel_dim("Conv3"), name="Conv3", **kw)(pool(e2), train=train)
+        if self.small_c_layout == "nchw":
+            # stages 1-2 channels-second (see class docstring); `acts` keeps
+            # the NHWC view — XLA dead-code-eliminates it when unconsumed
+            xc = jnp.transpose(x, (0, 3, 1, 2))
+            e1c = ConvBlock(self.channel_dim("Conv1"), name="Conv1",
+                            data_format="NCHW", **kw)(xc, train=train)
+            e1 = jnp.transpose(e1c, (0, 2, 3, 1))
+            acts["Conv1"] = e1
+            if until == "Conv1":
+                return acts
+            p1 = jax.lax.reduce_window(e1c, -jnp.inf, jax.lax.max,
+                                       (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+            e2c = ConvBlock(self.channel_dim("Conv2"), name="Conv2",
+                            data_format="NCHW", **kw)(p1, train=train)
+            e2 = jnp.transpose(e2c, (0, 2, 3, 1))
+            acts["Conv2"] = e2
+            if until == "Conv2":
+                return acts
+            p2 = jnp.transpose(
+                jax.lax.reduce_window(e2c, -jnp.inf, jax.lax.max,
+                                      (1, 1, 2, 2), (1, 1, 2, 2), "VALID"),
+                (0, 2, 3, 1))
+        else:
+            e1 = ConvBlock(self.channel_dim("Conv1"), name="Conv1", **kw)(x, train=train)
+            acts["Conv1"] = e1
+            if until == "Conv1":
+                return acts
+            e2 = ConvBlock(self.channel_dim("Conv2"), name="Conv2", **kw)(pool(e1), train=train)
+            acts["Conv2"] = e2
+            if until == "Conv2":
+                return acts
+            p2 = pool(e2)
+        e3 = ConvBlock(self.channel_dim("Conv3"), name="Conv3", **kw)(p2, train=train)
         acts["Conv3"] = e3
         if until == "Conv3":
             return acts

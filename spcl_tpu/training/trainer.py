@@ -397,17 +397,23 @@ class Trainer:
             # device link charges a full round trip per transfer)
             host_mats, dev_args = self._epoch_matrices(scalars)
             t0 = time.time()
+            last = [t0]
+            spb = self._epoch_slices() // max(self._num_batches, 1)
             for b in range(self._num_batches):
                 self._state, metrics = self._train_step.epoch_step(self._state, *dev_args)
                 pending.append((metrics, host_mats[0][b]))
+                self._progress(b, t0, last, spb)
         else:
             lab_iter, unl_iter = self._train_streams()
             t0 = time.time()
+            last = [t0]
+            spb = self._epoch_slices() // max(self._num_batches, 1)
             for b in range(self._num_batches):
                 batch_l = next(lab_iter)
                 key = self._keychain.next()
                 self._state, metrics = self._train_dispatch(batch_l, unl_iter, key, scalars)
                 pending.append((metrics, self._group_token(batch_l)))
+                self._progress(b, t0, last, spb)
         jax.block_until_ready(self._state)
         elapsed = time.time() - t0
         # stack the epoch's metrics ON DEVICE and fetch once: the device link
@@ -430,6 +436,21 @@ class Trainer:
     def _host_lr(self) -> float:
         step = max((self._cur_epoch - 1), 0) * self._num_batches
         return float(self._lr_schedule.host(step))
+
+    def _progress(self, b: int, t0: float, last: list, slices_per_batch: int,
+                  period: float = 10.0) -> None:
+        """In-epoch progress line (reference mytqdm in-epoch rate display,
+        contrastyou/mytqdm/mytqdm.py:38-57): every `period` seconds, log
+        batch index + dispatch rate. (On relayed backends the dispatch rate
+        is an upper bound — the epoch summary carries the real one.)"""
+        now = time.time()
+        if now - last[0] < period:
+            return
+        last[0] = now
+        rate = (b + 1) / max(now - t0, 1e-9)
+        logger.info("epoch %03d | batch %d/%d | %.1f it/s (~%.0f slices/s dispatch)",
+                    self._cur_epoch, b + 1, self._num_batches, rate,
+                    rate * slices_per_batch)
 
     def _index_matrix(self, loader) -> np.ndarray:
         ds = loader.dataset
@@ -1014,21 +1035,25 @@ class _PretrainTrainer(Trainer):
                     self._state.params, self._state.batch_stats,
                     self._put_batch(np.asarray(mat[0])), key0, scalars)
             t0 = time.time()
+            last = [t0]
             for b in range(self._num_batches):
                 n_slices += 2 * mat.shape[1]
                 self._state, metrics = self._train_step.epoch_step(
                     self._state, dev_mat, dev_scalars)
                 pending.append(metrics)
+                self._progress(b, t0, last, 2 * mat.shape[1])
         else:
             it = device_prefetch(
                 islice(iter(self._contrastive_loader), self._num_batches), depth=3)
             t0 = time.time()
+            last = [t0]
             for b in range(self._num_batches):
                 batch = next(it)
                 n_slices += 2 * batch["image"].shape[0]
                 key = self._keychain.next()
                 self._state, metrics = self._train_step(self._state, batch, key, scalars)
                 pending.append(metrics)
+                self._progress(b, t0, last, 2 * batch["image"].shape[0])
         jax.block_until_ready(self._state)
         elapsed = time.time() - t0
         stacked = jax.device_get(jax.tree_util.tree_map(

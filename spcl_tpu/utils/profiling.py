@@ -44,6 +44,42 @@ def device_ms_per_step(trace_dir: str) -> Optional[float]:
     return total / count * 1e3
 
 
+def device_op_breakdown(trace_dir: str, top: int = 0) -> Optional[dict]:
+    """Aggregate device time by XLA op from a trace directory.
+
+    Parses the TPU device plane's per-core op lines ("XLA Ops") and returns
+    {op_display_name: total_ms} sorted descending (all ops, or `top` first).
+    The op names are fusion names — coarse but enough to attribute step time
+    to conv stages / warp shears / loss matmuls."""
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except Exception:
+        return None
+    totals: dict = {}
+    for p in glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True):
+        xs = xplane_pb2.XSpace()
+        try:
+            xs.ParseFromString(open(p, "rb").read())
+        except Exception:
+            continue
+        for plane in xs.planes:
+            if not plane.name.startswith("/device:TPU"):
+                continue
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                names = {m.id: m.name for m in plane.event_metadata.values()}
+                for e in line.events:
+                    n = names.get(e.metadata_id, str(e.metadata_id))
+                    totals[n] = totals.get(n, 0.0) + e.duration_ps / 1e9
+    if not totals:
+        return None
+    items = sorted(totals.items(), key=lambda kv: -kv[1])
+    if top:
+        items = items[:top]
+    return dict(items)
+
+
 def profile_device_time(run_one, reps: int = 20) -> Optional[float]:
     """Trace `reps` calls of run_one() and return device ms per call."""
     import shutil

@@ -138,3 +138,36 @@ def test_ema_update():
     s = {"w": jnp.zeros((2, 2))}
     out = ema_update(t, s, 0.9)
     np.testing.assert_allclose(np.asarray(out["w"]), 0.9 * np.ones((2, 2)), rtol=1e-6)
+
+
+def test_nchw_small_c_layout_matches_nhwc():
+    """small_c_layout="nchw" (stages 1-2 channels-second — the TPU layout
+    that keeps W, not the lane-padded batch, minor; profiled round 3) is a
+    pure LAYOUT change: same param tree, same outputs, same batch stats,
+    same gradients."""
+    import jax.tree_util as jtu
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 1).astype(np.float32))
+    m1 = UNet(input_dim=1, num_classes=4, max_channel=128)
+    m2 = UNet(input_dim=1, num_classes=4, max_channel=128, small_c_layout="nchw")
+    v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = m2.init(jax.random.PRNGKey(0), x, train=False)
+    assert jtu.tree_structure(v1) == jtu.tree_structure(v2)
+    o1 = m1.apply(v1, x, train=False)
+    o2 = m2.apply(v1, x, train=False)  # the SAME params through the nchw path
+    np.testing.assert_allclose(np.asarray(o1["logits"]), np.asarray(o2["logits"]),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(o1["Conv1"]), np.asarray(o2["Conv1"]),
+                               atol=3e-5)
+    _, mut1 = m1.apply(v1, x, train=True, mutable=["batch_stats"])
+    _, mut2 = m2.apply(v1, x, train=True, mutable=["batch_stats"])
+    for a, b in zip(jtu.tree_leaves(mut1), jtu.tree_leaves(mut2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def loss(m, v):
+        return jnp.sum(m.apply(v, x, train=True, mutable=["batch_stats"])[0]["logits"] ** 2)
+
+    g1 = jax.grad(lambda v: loss(m1, v))(v1)
+    g2 = jax.grad(lambda v: loss(m2, v))(v1)
+    for a, b in zip(jtu.tree_leaves(g1), jtu.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
