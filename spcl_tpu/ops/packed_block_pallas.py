@@ -1,0 +1,699 @@
+"""Fused lane-packed ConvBlock stages (Pallas) — the UNet stage-1/2 kernels.
+
+Round-3 device profiling: the two small-C encoder stages cost 12.9 of the
+17.3 ms bf16 pretrain step. For C < 128 NHWC tensors XLA lays the BATCH into
+the 128-wide lanes (2N=60 -> 2.13x padded HBM traffic on every stage
+tensor); a logical-NCHW rewrite measures identical and a pure-jnp
+lane-packed rewrite loses to layout copies (tmp/step_ops*.json). These
+kernels run the validated lane-packed formulation (models/packed_stage.py:
+activations [B, H, Wg, 128] = G=128/C columns x C channels per lane group;
+3x3 convs as nine dense banded 128x128 matmuls) INSIDE Pallas where the
+memory plan is explicit: one read + one write per plane, full lanes, no
+relayouts.
+
+Grid = batch; one padded image plane per step (stage-1: [226, 30, 128] bf16
+= 1.7 MB, VMEM-resident). BatchNorm must see global batch statistics before
+normalizing, so the stage splits at each BN:
+
+  fwd  K_conv:    zpad = conv(xpad)            + lane sums (Sz, Szz)
+       K_bnconv:  z1pad = conv(relu(bn(zpad))) + lane sums
+       K_bnpool:  e = relu(bn(z1)); p = maxpool2x2(e)
+  bwd  K_poolsums: dy1 = (poolbwd(dp)+de) * relu'  -> (S_dy, S_dyz)
+       K_dz:      dz1 = bnbwd(dy1) via coef; dBands1 += a0^T dz1;
+                  dy0 = (conv1^T dz1) * relu'0      -> (S_dy0, S_dy0z0)
+       K_dwdx:    dz0 = bnbwd(dy0) via coef; dBands0 += x^T dz0;
+                  [dx = conv0^T dz0]
+
+Weight gradients come out as banded-matrix cotangents; the chain back to
+the ordinary [3,3,Ci,Co] kernels is jax.vjp of the band construction
+(models/packed_stage._band_matrices) — no hand-derived index math.
+Equivalence-tested against the jnp packed/NHWC paths; interpret mode on CPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.packed_stage import _band_matrices
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ----------------------------------------------------------------- in-kernel ops
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _strips(h, target=16):
+    """Largest divisor of h that is <= target (static strip count: bounds the
+    f32 temporaries of whole-plane kernels under the ~16MB VMEM budget)."""
+    for s in range(min(target, h), 0, -1):
+        if h % s == 0:
+            return s
+    return 1
+
+
+def _conv_strip(xpad, bands, r0, rows, wg, ratio, dtype):
+    """Rows [r0, r0+rows) of conv(xpad): [rows, ratio*wg, 128].
+    bands [ratio, 3, 3, 128, 128]; lane dims never reshape (Mosaic)."""
+    accs = [jnp.zeros((rows * wg, 128), jnp.float32) for _ in range(ratio)]
+    for u in range(3):
+        for s in range(3):
+            tile = xpad[r0 + u:r0 + u + rows, s:s + wg, :]
+            t2 = tile.reshape(rows * wg, 128).astype(dtype)
+            for r in range(ratio):
+                accs[r] = accs[r] + _dot(t2, bands[r, u, s].astype(dtype))
+    if ratio == 1:
+        return accs[0].reshape(rows, wg, 128)
+    stacked = jnp.stack([a.reshape(rows, wg, 128) for a in accs], axis=2)
+    return stacked.reshape(rows, wg * ratio, 128)
+
+
+def _convT_strip(dzpad, bands_t, r0, rows, wg_out, ratio, dtype):
+    """Rows [r0, r0+rows) of the transpose conv (reverse shifts):
+    [rows, Wg_in, 128]. dzpad is padded by 1 row / `ratio` groups."""
+    wg_in = wg_out // ratio
+    acc = jnp.zeros((rows * wg_in, 128), jnp.float32)
+    for u in range(3):
+        for s in range(3):
+            tile = dzpad[r0 + 2 - u:r0 + 2 - u + rows,
+                         (2 - s) * ratio:(2 - s) * ratio + wg_out, :]
+            tile = tile.reshape(rows, wg_in, ratio, 128)
+            for r in range(ratio):
+                acc = acc + _dot(
+                    tile[:, :, r, :].reshape(rows * wg_in, 128).astype(dtype),
+                    bands_t[r, u, s].astype(dtype))
+    return acc.reshape(rows, wg_in, 128)
+
+
+def _bn(z, inv, shift):
+    return z.astype(jnp.float32) * inv + shift
+
+
+def _pool_perms(c):
+    """Static lane-permutation matrices for the 2x2 pool: even/odd column
+    compaction of an input-group PAIR into one output group (low/high 64
+    lanes). Lane (o, ci); max is non-linear so the perms only MOVE data."""
+    import numpy as _np
+    g = 128 // c
+    pe_lo = _np.zeros((128, 128), _np.float32)
+    po_lo = _np.zeros((128, 128), _np.float32)
+    pe_hi = _np.zeros((128, 128), _np.float32)
+    po_hi = _np.zeros((128, 128), _np.float32)
+    half = (g // 2) * c
+    for o in range(g):
+        for ci in range(c):
+            if o % 2 == 0:
+                pe_lo[o * c + ci, (o // 2) * c + ci] = 1.0
+                pe_hi[o * c + ci, half + (o // 2) * c + ci] = 1.0
+            else:
+                po_lo[o * c + ci, (o // 2) * c + ci] = 1.0
+                po_hi[o * c + ci, half + (o // 2) * c + ci] = 1.0
+    return pe_lo, po_lo, pe_hi, po_hi
+
+
+def _pool_cands(e, perms, h, wg, c, dtype):
+    """Four 2x2-window candidates on the pooled grid, scan order
+    (r0,colE),(r0,colO),(r1,colE),(r1,colO). e [H, Wg, 128], perms
+    [4,128,128] (pe_lo, po_lo, pe_hi, po_hi) -> candidates [H/2, Wg/2, 128]."""
+    pe_lo, po_lo, pe_hi, po_hi = perms[0], perms[1], perms[2], perms[3]
+    er = e.reshape(h // 2, 2, wg // 2, 2, 128)
+    out = []
+    for row in (0, 1):
+        a = er[:, row, :, 0, :].reshape(h // 2 * (wg // 2), 128).astype(dtype)
+        b = er[:, row, :, 1, :].reshape(h // 2 * (wg // 2), 128).astype(dtype)
+        ce = (_dot(a, pe_lo.astype(dtype)) + _dot(b, pe_hi.astype(dtype)))
+        co = (_dot(a, po_lo.astype(dtype)) + _dot(b, po_hi.astype(dtype)))
+        out.append(ce.reshape(h // 2, wg // 2, 128))
+        out.append(co.reshape(h // 2, wg // 2, 128))
+    return out  # [c0E, c0O, c1E, c1O] as f32
+
+
+def _pool(e, perms, h, wg, c):
+    c0e, c0o, c1e, c1o = _pool_cands(e, perms, h, wg, c, e.dtype)
+    return jnp.maximum(jnp.maximum(c0e, c0o),
+                       jnp.maximum(c1e, c1o)).astype(e.dtype)
+
+
+def _pool_bwd(e, dp, perms, h, wg, c):
+    """Route dp to the FIRST max of each 2x2 window (scan order — torch),
+    scattering back through the transposed permutation matmuls."""
+    pe_lo, po_lo, pe_hi, po_hi = perms[0], perms[1], perms[2], perms[3]
+    cands = _pool_cands(e, perms, h, wg, c, e.dtype)
+    m = jnp.maximum(jnp.maximum(cands[0], cands[1]),
+                    jnp.maximum(cands[2], cands[3]))
+    dpf = dp.astype(jnp.float32)
+    taken = jnp.zeros_like(m, dtype=jnp.bool_)
+    routed = []
+    for cand in cands:
+        sel = (cand == m) & ~taken
+        taken = taken | sel
+        routed.append(jnp.where(sel, dpf, 0.0))
+    n2 = (h // 2) * (wg // 2)
+    rows = []
+    for row in (0, 1):
+        de = routed[2 * row].reshape(n2, 128)
+        do = routed[2 * row + 1].reshape(n2, 128)
+        da = (_dot(de, pe_lo.T) + _dot(do, po_lo.T))
+        db = (_dot(de, pe_hi.T) + _dot(do, po_hi.T))
+        pair = jnp.stack([da.reshape(h // 2, wg // 2, 128),
+                          db.reshape(h // 2, wg // 2, 128)], axis=2)
+        rows.append(pair.reshape(h // 2, wg, 128))
+    both = jnp.stack(rows, axis=1)                       # [H/2, 2, Wg, 128]
+    return both.reshape(h, wg, 128)
+
+
+def _interior(pad_ref, h, wg):
+    return pad_ref[0][1:1 + h, 1:1 + wg, :]
+
+
+def _repad(z):
+    return jnp.pad(z, ((1, 1), (1, 1), (0, 0)))
+
+
+# --------------------------------------------------------------------- kernels
+# Every kernel loops over static row-strips so its f32 temporaries stay well
+# under the ~16MB/core VMEM budget (whole [224, 30, 128] f32 planes do not).
+
+
+def _strips_even(h, target=16):
+    """Largest strip count <= target dividing h with an EVEN strip height
+    (pooling pairs rows)."""
+    for s in range(min(target, h), 0, -1):
+        if h % s == 0 and (h // s) % 2 == 0:
+            return s
+    return 1
+
+
+def _pad_border_mask(r0, rows, h, wg, dtype):
+    """[rows, wg+2, 1] 0/1 mask that zeroes the padded border of a strip of
+    PADDED-plane rows [r0, r0+rows) (global padded coords)."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, wg + 2, 1), 0) + r0
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, wg + 2, 1), 1)
+    inside = (ri >= 1) & (ri <= h) & (ci >= 1) & (ci <= wg)
+    return inside.astype(dtype)
+
+
+def _zero_borders(ref, h, wg):
+    ref[0, 0:1, :, :] = jnp.zeros((1, wg + 2, 128), ref.dtype)
+    ref[0, h + 1:h + 2, :, :] = jnp.zeros((1, wg + 2, 128), ref.dtype)
+    ref[0, :, 0:1, :] = jnp.zeros((h + 2, 1, 128), ref.dtype)
+    ref[0, :, wg + 1:wg + 2, :] = jnp.zeros((h + 2, 1, 128), ref.dtype)
+
+
+def _k_conv(xpad_ref, bands_ref, zpad_ref, sums_ref, acc, *, h, wg, ratio, dtype):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    wgo = wg * ratio
+    _zero_borders(zpad_ref, h, wgo)
+    ns = _strips(h)
+    rs = h // ns
+    bands = bands_ref[...]
+    s0 = jnp.zeros((128,), jnp.float32)
+    s1 = jnp.zeros((128,), jnp.float32)
+    for i in range(ns):
+        z = _conv_strip(xpad_ref[0], bands, i * rs, rs, wg, ratio, dtype)
+        zpad_ref[0, 1 + i * rs:1 + (i + 1) * rs, 1:1 + wgo, :] = \
+            z.astype(dtype)
+        s0 = s0 + jnp.sum(z, axis=(0, 1))
+        s1 = s1 + jnp.sum(z * z, axis=(0, 1))
+    acc[0, :] += s0
+    acc[1, :] += s1
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        sums_ref[...] = acc[...]
+
+
+def _a_strip(zpad_ref, coef_ref, r0, rows, h, wg, dtype):
+    """relu(bn(z)) over PADDED rows [r0, r0+rows) with borders re-zeroed
+    (bn shifts the zero padding)."""
+    zs = zpad_ref[0][r0:r0 + rows, :, :]
+    a = jnp.maximum(_bn(zs, coef_ref[0], coef_ref[1]), 0.0)
+    return (a * _pad_border_mask(r0, rows, h, wg, jnp.float32)).astype(dtype)
+
+
+def _k_bnconv(zpad_ref, coef_ref, bands_ref, z1pad_ref, sums_ref, acc,
+              *, h, wg, ratio, dtype):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    wgo = wg * ratio
+    _zero_borders(z1pad_ref, h, wgo)
+    ns = _strips(h)
+    rs = h // ns
+    bands = bands_ref[...]
+    s0 = jnp.zeros((128,), jnp.float32)
+    s1 = jnp.zeros((128,), jnp.float32)
+    for i in range(ns):
+        apad = _a_strip(zpad_ref, coef_ref, i * rs, rs + 2, h, wg, dtype)
+        z1 = _conv_strip(apad, bands, 0, rs, wg, ratio, dtype)
+        z1pad_ref[0, 1 + i * rs:1 + (i + 1) * rs, 1:1 + wgo, :] = \
+            z1.astype(dtype)
+        s0 = s0 + jnp.sum(z1, axis=(0, 1))
+        s1 = s1 + jnp.sum(z1 * z1, axis=(0, 1))
+    acc[0, :] += s0
+    acc[1, :] += s1
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        sums_ref[...] = acc[...]
+
+
+def _k_bnpool(z1pad_ref, coef_ref, perms_ref, e_ref, p_ref, *, h, wg, c, dtype):
+    ns = _strips_even(h)
+    rs = h // ns
+    perms = perms_ref[...]
+    for i in range(ns):
+        z1 = z1pad_ref[0][1 + i * rs:1 + (i + 1) * rs, 1:1 + wg, :]
+        e = jnp.maximum(_bn(z1, coef_ref[0], coef_ref[1]), 0.0).astype(dtype)
+        e_ref[0, i * rs:(i + 1) * rs] = e
+        p_ref[0, i * rs // 2:(i + 1) * rs // 2] = \
+            _pool(e, perms, rs, wg, c).astype(dtype)
+
+
+def _dy_strip(z1pad_ref, coef_ref, perms_ref, dp_ref, de_ref, i, rs, wg, c,
+              dtype):
+    """dy1 for interior rows [i*rs, (i+1)*rs): pool-bwd + skip cotangent,
+    masked by relu'."""
+    z1 = z1pad_ref[0][1 + i * rs:1 + (i + 1) * rs, 1:1 + wg, :]
+    y = _bn(z1, coef_ref[0], coef_ref[1])
+    e = jnp.maximum(y, 0.0).astype(dtype)
+    dp = dp_ref[0][i * rs // 2:(i + 1) * rs // 2]
+    da = _pool_bwd(e, dp, perms_ref[...], rs, wg, c).astype(jnp.float32)
+    da = da + de_ref[0][i * rs:(i + 1) * rs].astype(jnp.float32)
+    return jnp.where(y >= 0.0, da, 0.0), z1
+
+
+def _k_poolsums(z1pad_ref, coef_ref, perms_ref, dp_ref, de_ref, sums_ref, acc,
+                *, h, wg, c, dtype):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    ns = _strips_even(h)
+    rs = h // ns
+    s0 = jnp.zeros((128,), jnp.float32)
+    s1 = jnp.zeros((128,), jnp.float32)
+    for i in range(ns):
+        dy, z1 = _dy_strip(z1pad_ref, coef_ref, perms_ref, dp_ref, de_ref,
+                           i, rs, wg, c, dtype)
+        s0 = s0 + jnp.sum(dy, axis=(0, 1))
+        s1 = s1 + jnp.sum(dy * z1.astype(jnp.float32), axis=(0, 1))
+    acc[0, :] += s0
+    acc[1, :] += s1
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        sums_ref[...] = acc[...]
+
+
+def _k_dz1(z1pad_ref, coef1_ref, dcoef1_ref, perms_ref, dp_ref, de_ref,
+           dz1pad_ref, *, h, wg, c, dtype):
+    """dz1 = bn-backward(dy1) via the global coefficients; written as a
+    PADDED plane for the following transpose-conv kernel."""
+    _zero_borders(dz1pad_ref, h, wg)
+    ns = _strips_even(h)
+    rs = h // ns
+    for i in range(ns):
+        dy, z1 = _dy_strip(z1pad_ref, coef1_ref, perms_ref, dp_ref, de_ref,
+                           i, rs, wg, c, dtype)
+        dz = (dcoef1_ref[0] * dy + dcoef1_ref[1]
+              + dcoef1_ref[2] * z1.astype(jnp.float32))
+        dz1pad_ref[0, 1 + i * rs:1 + (i + 1) * rs, 1:1 + wg, :] = \
+            dz.astype(dtype)
+
+
+def _k_dwprev(dz1pad_ref, zprevpad_ref, coef0_ref, bands_t_ref,
+              dy0_ref, dband_ref, sums0_ref, dwacc, acc,
+              *, h, wg, dtype):
+    """Banded dW1 accumulation against a0 = relu(bn0(z0)); dy0 =
+    (conv1^T dz1) * relu'0; bn0 lane sums. conv1 is same-G (ratio 1)."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        dwacc[...] = jnp.zeros_like(dwacc)
+        acc[...] = jnp.zeros_like(acc)
+
+    ns = _strips(h)
+    rs = h // ns
+    bands_t = bands_t_ref[...]
+    s0 = jnp.zeros((128,), jnp.float32)
+    s1 = jnp.zeros((128,), jnp.float32)
+    dws = [jnp.zeros((128, 128), jnp.float32) for _ in range(9)]
+    for i in range(ns):
+        apad = _a_strip(zprevpad_ref, coef0_ref, i * rs, rs + 2, h, wg, dtype)
+        dz = dz1pad_ref[0][1 + i * rs:1 + (i + 1) * rs, 1:1 + wg, :]
+        dz2d = dz.reshape(rs * wg, 128).astype(dtype)
+        for u in range(3):
+            for s in range(3):
+                tile = apad[u:u + rs, s:s + wg, :]
+                dws[u * 3 + s] = dws[u * 3 + s] + jax.lax.dot_general(
+                    tile.reshape(rs * wg, 128), dz2d,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        da0 = _convT_strip(dz1pad_ref[0], bands_t, i * rs, rs, wg, 1, dtype)
+        z0 = zprevpad_ref[0][1 + i * rs:1 + (i + 1) * rs, 1:1 + wg, :]
+        y0 = _bn(z0, coef0_ref[0], coef0_ref[1])
+        dy0 = jnp.where(y0 >= 0.0, da0, 0.0)
+        dy0_ref[0, i * rs:(i + 1) * rs] = dy0.astype(dy0_ref.dtype)
+        s0 = s0 + jnp.sum(dy0, axis=(0, 1))
+        s1 = s1 + jnp.sum(dy0 * z0.astype(jnp.float32), axis=(0, 1))
+    for k in range(9):
+        dwacc[k] += dws[k]
+    acc[0, :] += s0
+    acc[1, :] += s1
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        dband_ref[...] = dwacc[...]
+        sums0_ref[...] = acc[...]
+
+
+def _k_dwdx(zpad_ref, dcoef_ref, dy_ref, xpad_ref, bands_t_ref,
+            dx_ref, dband_ref, dwacc, *, h, wg, ratio, dtype):
+    """First-packed-conv backward (stage-2): dz0 from coef; banded dW0
+    accumulation against the stage input; dx = conv0^T(dz0). To give the
+    transpose conv its row halo, each strip recomputes dz for rows
+    [i*rs-1, (i+1)*rs+1) (elementwise) into a local padded buffer."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        dwacc[...] = jnp.zeros_like(dwacc)
+
+    wg_in = wg // ratio
+    ns = _strips(h)
+    rs = h // ns
+    bands_t = bands_t_ref[...]
+    dws = [jnp.zeros((128, 128), jnp.float32) for _ in range(9 * ratio)]
+
+    dypad = jnp.pad(dy_ref[0], ((1, 1), (1, 1), (0, 0)))
+
+    def dz_rows(r0, rows):
+        """dz for PADDED rows [r0, r0+rows) (borders zero), group-padded by
+        `ratio` for the transpose conv."""
+        z = zpad_ref[0][r0:r0 + rows, :, :]
+        dyp = dypad[r0:r0 + rows, :, :]
+        dz = (dcoef_ref[0] * dyp.astype(jnp.float32) + dcoef_ref[1]
+              + dcoef_ref[2] * z.astype(jnp.float32))
+        dz = dz * _pad_border_mask(r0, rows, h, wg, jnp.float32)
+        if ratio > 1:
+            dz = jnp.pad(dz[:, 1:1 + wg, :],
+                         ((0, 0), (ratio, ratio), (0, 0)))
+        return dz.astype(dtype)
+
+    for i in range(ns):
+        dzpad = dz_rows(i * rs, rs + 2)
+        dzi = dzpad[1:1 + rs, ratio:ratio + wg, :] if ratio > 1 else \
+            dzpad[1:1 + rs, 1:1 + wg, :]
+        dzr = dzi.reshape(rs, wg_in, ratio, 128)
+        for u in range(3):
+            for s in range(3):
+                tile = xpad_ref[0][i * rs + u:i * rs + u + rs,
+                                   s:s + wg_in, :]
+                t2d = tile.reshape(rs * wg_in, 128).astype(dtype)
+                for r in range(ratio):
+                    dws[(u * 3 + s) * ratio + r] = \
+                        dws[(u * 3 + s) * ratio + r] + jax.lax.dot_general(
+                            t2d, dzr[:, :, r, :].reshape(rs * wg_in, 128),
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        dx = _convT_strip(dzpad, bands_t, 0, rs, wg, ratio, dtype)
+        dx_ref[0, i * rs:(i + 1) * rs] = dx.astype(dx_ref.dtype)
+    for k in range(9 * ratio):
+        dwacc[k] += dws[k]
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        dband_ref[...] = dwacc[...]
+
+
+# ------------------------------------------------------------------ glue (XLA)
+def _bn_fwd_coef(sums, n, gamma, beta):
+    """(mean, var, inv, shift) from lane sums folded per channel."""
+    c = gamma.shape[0]
+    g = 128 // c
+    mean = sums[0].reshape(g, c).sum(0) / n
+    var = jnp.maximum(sums[1].reshape(g, c).sum(0) / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + 1e-5) * gamma
+    shift = beta - mean * inv
+    return mean, var, inv, shift
+
+
+def _lane(v, c):
+    return jnp.tile(v, 128 // c)
+
+
+def _bn_bwd_coef(sums_dy, n, mean, var, gamma):
+    """dz = c0*dy + c1 + c2*z coefficients + (dgamma, dbeta) from lane sums
+    (S_dy, S_dy*z)."""
+    c = gamma.shape[0]
+    g = 128 // c
+    s1 = sums_dy[0].reshape(g, c).sum(0)
+    s2 = sums_dy[1].reshape(g, c).sum(0)
+    sigma2 = var + 1e-5
+    sigma = jnp.sqrt(sigma2)
+    inv = gamma / sigma
+    dxhat_sum = (s2 - mean * s1) / sigma          # sum(dy * xhat)
+    c2 = -inv * (s2 - mean * s1) / (n * sigma2)
+    c1 = -inv * s1 / n - mean * c2
+    c0 = inv
+    dgamma = dxhat_sum
+    dbeta = s1
+    return c0, c1, c2, dgamma, dbeta
+
+
+def _vecs(*rows):
+    return jnp.stack([r.astype(jnp.float32) for r in rows])
+
+
+def _bands_fwd(w, ratio):
+    """[ratio, 3, 3, 128, 128] band matrices (ratio=1 gets a leading 1)."""
+    b = _band_matrices(w)  # [u,s,128,128] or [r,u,s,128,128]
+    if b.ndim == 4:
+        b = b[None]
+    assert b.shape[0] == ratio, (b.shape, ratio)
+    return b
+
+
+def _bands_t(w, ratio):
+    """Transposed band matrices for conv^T: [ratio, 3, 3, 128, 128]."""
+    return jnp.swapaxes(_bands_fwd(w, ratio), -1, -2)
+
+
+def _pc(kernel, grid, in_specs, out_shapes, out_specs, scratch):
+    return pl.pallas_call(
+        kernel, grid=(grid,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, scratch_shapes=scratch, interpret=_interpret())
+
+
+def _plane_in(h, wg):
+    return pl.BlockSpec((1, h, wg, 128), lambda b: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _full_in(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda b: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+# ------------------------------------------------------------ the fused block
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_packed_block(x, w0, g0, b0, w1, g1, b1, c_in, c_out, dtype_name,
+                       external_first):
+    """One ConvBlock+pool stage on packed activations.
+
+    x: external_first=True -> the PADDED packed output of an XLA first conv
+    ([B, H+2, Wg+2, 128], C=c_out); else the padded packed stage input
+    ([B, H+2, Wg_in+2, 128], C=c_in) and w0 is applied in-kernel.
+    Returns (p, e, mean0, var0, mean1, var1): pooled output [B,H/2,Wg/2,128],
+    pre-pool activation e [B,H,Wg,128], and the two BN batch stats [C].
+    """
+    out, _ = _fwd(x, w0, g0, b0, w1, g1, b1, c_in, c_out, dtype_name,
+                  external_first)
+    return out
+
+
+def _fwd(x, w0, g0, b0, w1, g1, b1, c_in, c_out, dtype_name, external_first):
+    dtype = jnp.dtype(dtype_name)
+    bsz = x.shape[0]
+    c = c_out
+    if external_first:
+        zpad = x.astype(dtype)
+        h, wg = zpad.shape[1] - 2, zpad.shape[2] - 2
+        sums0 = _sum_plane(zpad, h, wg)
+    else:
+        assert c_out % c_in == 0, (c_in, c_out)
+        h, wg_in = x.shape[1] - 2, x.shape[2] - 2
+        ratio0 = c_out // c_in
+        wg = wg_in * ratio0
+        bands0 = _bands_fwd(w0, ratio0)
+        zpad, sums0 = _pc(
+            functools.partial(_k_conv, h=h, wg=wg_in, ratio=ratio0, dtype=dtype),
+            bsz,
+            [_plane_in(h + 2, wg_in + 2), _full_in(bands0.shape)],
+            (jax.ShapeDtypeStruct((bsz, h + 2, wg + 2, 128), dtype),
+             jax.ShapeDtypeStruct((2, 128), jnp.float32)),
+            (_plane_in(h + 2, wg + 2), _vec_out()),
+            [pltpu.VMEM((2, 128), jnp.float32)],
+        )(x.astype(dtype), bands0)
+    n = bsz * h * wg * (128 // c)
+    mean0, var0, inv0, shift0 = _bn_fwd_coef(sums0, n, g0, b0)
+    coef0 = _vecs(_lane(inv0, c), _lane(shift0, c))
+
+    bands1 = _bands_fwd(w1, 1)
+    z1pad, sums1 = _pc(
+        functools.partial(_k_bnconv, h=h, wg=wg, ratio=1, dtype=dtype),
+        bsz,
+        [_plane_in(h + 2, wg + 2), _full_in((2, 128)), _full_in(bands1.shape)],
+        (jax.ShapeDtypeStruct((bsz, h + 2, wg + 2, 128), dtype),
+         jax.ShapeDtypeStruct((2, 128), jnp.float32)),
+        (_plane_in(h + 2, wg + 2), _vec_out()),
+        [pltpu.VMEM((2, 128), jnp.float32)],
+    )(zpad, coef0, bands1)
+    mean1, var1, inv1, shift1 = _bn_fwd_coef(sums1, n, g1, b1)
+    coef1 = _vecs(_lane(inv1, c), _lane(shift1, c))
+
+    perms = jnp.asarray(np.stack(_pool_perms(c)))
+    e, p = _pc(
+        functools.partial(_k_bnpool, h=h, wg=wg, c=c, dtype=dtype),
+        bsz,
+        [_plane_in(h + 2, wg + 2), _full_in((2, 128)),
+         _full_in((4, 128, 128))],
+        (jax.ShapeDtypeStruct((bsz, h, wg, 128), dtype),
+         jax.ShapeDtypeStruct((bsz, h // 2, wg // 2, 128), dtype)),
+        (_plane_in(h, wg), _plane_in(h // 2, wg // 2)),
+        [],
+    )(z1pad, coef1, perms)
+
+    out = (p, e, mean0, var0, mean1, var1)
+    res = (x, zpad, z1pad, w0, w1, g0, b0, g1, b1,
+           mean0, var0, inv0, shift0, mean1, var1, inv1, shift1)
+    return out, res
+
+
+def _vec_out():
+    return pl.BlockSpec((2, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _sum_plane(zpad, h, wg):
+    z = zpad[:, 1:h + 1, 1:wg + 1, :].astype(jnp.float32)
+    return jnp.stack([jnp.sum(z, axis=(0, 1, 2)),
+                      jnp.sum(z * z, axis=(0, 1, 2))])
+
+
+def _bwd(c_in, c_out, dtype_name, external_first, res, cts):
+    dtype = jnp.dtype(dtype_name)
+    (x, zpad, z1pad, w0, w1, g0, b0, g1, b1,
+     mean0, var0, inv0, shift0, mean1, var1, inv1, shift1) = res
+    dp, de = cts[0], cts[1]  # stats cotangents ignored (buffers)
+    bsz = zpad.shape[0]
+    c = c_out
+    h, wg = zpad.shape[1] - 2, z1pad.shape[2] - 2
+    wg0_in = x.shape[2] - 2
+    ratio0 = 1 if external_first else c_out // c_in
+    n = bsz * h * wg * (128 // c)
+    coef0 = _vecs(_lane(inv0, c), _lane(shift0, c))
+    coef1 = _vecs(_lane(inv1, c), _lane(shift1, c))
+
+    # ---- bn1 global sums
+    perms = jnp.asarray(np.stack(_pool_perms(c)))
+    sums_dy1 = _pc(
+        functools.partial(_k_poolsums, h=h, wg=wg, c=c, dtype=dtype),
+        bsz,
+        [_plane_in(h + 2, wg + 2), _full_in((2, 128)),
+         _full_in((4, 128, 128)),
+         _plane_in(h // 2, wg // 2), _plane_in(h, wg)],
+        jax.ShapeDtypeStruct((2, 128), jnp.float32),
+        _vec_out(),
+        [pltpu.VMEM((2, 128), jnp.float32)],
+    )(z1pad, coef1, perms, dp.astype(dtype), de.astype(dtype))
+    c0_1, c1_1, c2_1, dg1, db1_ = _bn_bwd_coef(sums_dy1, n, mean1, var1, g1)
+    dcoef1 = _vecs(_lane(c0_1, c), _lane(c1_1, c), _lane(c2_1, c))
+
+    # ---- dz1 (padded plane), then banded dW1 + dy0 + bn0 sums
+    bands1_t = _bands_t(w1, 1)
+    dz1pad = _pc(
+        functools.partial(_k_dz1, h=h, wg=wg, c=c, dtype=dtype),
+        bsz,
+        [_plane_in(h + 2, wg + 2), _full_in((2, 128)), _full_in((3, 128)),
+         _full_in((4, 128, 128)),
+         _plane_in(h // 2, wg // 2), _plane_in(h, wg)],
+        jax.ShapeDtypeStruct((bsz, h + 2, wg + 2, 128), dtype),
+        _plane_in(h + 2, wg + 2),
+        [],
+    )(z1pad, coef1, dcoef1, perms, dp.astype(dtype), de.astype(dtype))
+    dy0, dband1, sums_dy0 = _pc(
+        functools.partial(_k_dwprev, h=h, wg=wg, dtype=dtype),
+        bsz,
+        [_plane_in(h + 2, wg + 2), _plane_in(h + 2, wg + 2),
+         _full_in((2, 128)), _full_in(bands1_t.shape)],
+        (jax.ShapeDtypeStruct((bsz, h, wg, 128), dtype),
+         jax.ShapeDtypeStruct((9, 128, 128), jnp.float32),
+         jax.ShapeDtypeStruct((2, 128), jnp.float32)),
+        (_plane_in(h, wg),
+         pl.BlockSpec((9, 128, 128), lambda b: (0, 0, 0),
+                      memory_space=pltpu.VMEM),
+         _vec_out()),
+        [pltpu.VMEM((9, 128, 128), jnp.float32),
+         pltpu.VMEM((2, 128), jnp.float32)],
+    )(dz1pad, zpad, coef0, bands1_t)
+    c0_0, c1_0, c2_0, dg0, db0_ = _bn_bwd_coef(sums_dy0, n, mean0, var0, g0)
+    dcoef0 = _vecs(_lane(c0_0, c), _lane(c1_0, c), _lane(c2_0, c))
+
+    # dW1 from the banded cotangent via vjp of the band construction
+    _, vjp1 = jax.vjp(lambda w: _bands_fwd(w, 1), w1)
+    dw1 = vjp1(dband1.reshape(1, 3, 3, 128, 128))[0]
+
+    # ---- first conv backward
+    if external_first:
+        # dz0 back to the XLA conv: elementwise bn-backward on the plane
+        z0 = zpad[:, 1:h + 1, 1:wg + 1, :].astype(jnp.float32)
+        dz0 = (_lane(c0_0, c) * dy0.astype(jnp.float32) + _lane(c1_0, c)
+               + _lane(c2_0, c) * z0)
+        dxx = jnp.pad(dz0, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        dw0 = jnp.zeros_like(w0)
+        return (dxx.astype(x.dtype), dw0, dg0, db0_, dw1, dg1, db1_)
+
+    bands0_t = _bands_t(w0, ratio0)
+    dx, dband0 = _pc(
+        functools.partial(_k_dwdx, h=h, wg=wg, ratio=ratio0, dtype=dtype),
+        bsz,
+        [_plane_in(h + 2, wg + 2), _full_in((3, 128)), _plane_in(h, wg),
+         _plane_in(h + 2, wg0_in + 2), _full_in(bands0_t.shape)],
+        (jax.ShapeDtypeStruct((bsz, h, wg0_in, 128), jnp.float32),
+         jax.ShapeDtypeStruct((9 * ratio0, 128, 128), jnp.float32)),
+        (_plane_in(h, wg0_in),
+         pl.BlockSpec((9 * ratio0, 128, 128), lambda b: (0, 0, 0),
+                      memory_space=pltpu.VMEM)),
+        [pltpu.VMEM((9 * ratio0, 128, 128), jnp.float32)],
+    )(zpad, dcoef0, dy0, x.astype(dtype), bands0_t)
+    dxx = jnp.pad(dx, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(x.dtype)
+    _, vjp0 = jax.vjp(lambda w: _bands_fwd(w, ratio0), w0)
+    # accumulator index order (u, s, r) -> band layout [r, u, s, 128, 128]
+    dband0_r = jnp.moveaxis(dband0.reshape(3, 3, ratio0, 128, 128), 2, 0)
+    dw0 = vjp0(dband0_r)[0]
+    return (dxx, dw0, dg0, db0_, dw1, dg1, db1_)
+
+
+fused_packed_block.defvjp(_fwd, _bwd)
