@@ -53,7 +53,7 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _strips(h, target=16):
+def _strips(h, target=28):
     """Largest divisor of h that is <= target (static strip count: bounds the
     f32 temporaries of whole-plane kernels under the ~16MB VMEM budget)."""
     for s in range(min(target, h), 0, -1):
@@ -181,22 +181,24 @@ def _repad(z):
 
 
 # --------------------------------------------------------------------- kernels
-# Every kernel loops over static row-strips so its f32 temporaries stay well
-# under the ~16MB/core VMEM budget (whole [224, 30, 128] f32 planes do not).
+# Every kernel fori_loops over row-strips with dynamic pl.ds ref indexing:
+# strip temporaries stay ~1MB (under the ~16MB/core VMEM budget that whole
+# [224, 30, 128] f32 planes blow) and the MLIR stays small (a fully unrolled
+# strip loop at 28 strips made the remote compiler OOM).
 
 
-def _strips_even(h, target=16):
+def _strips(h, target=16):
     """Largest strip count <= target dividing h with an EVEN strip height
-    (pooling pairs rows)."""
+    (pooling pairs rows; even also keeps conv strip loads aligned)."""
     for s in range(min(target, h), 0, -1):
         if h % s == 0 and (h // s) % 2 == 0:
             return s
     return 1
 
 
-def _pad_border_mask(r0, rows, h, wg, dtype):
-    """[rows, wg+2, 1] 0/1 mask that zeroes the padded border of a strip of
-    PADDED-plane rows [r0, r0+rows) (global padded coords)."""
+def _row_mask(r0, rows, h, wg, dtype):
+    """[rows, wg+2, 1] 0/1 mask zeroing the padded border of PADDED-plane
+    rows [r0, r0+rows) (r0 may be traced)."""
     ri = jax.lax.broadcasted_iota(jnp.int32, (rows, wg + 2, 1), 0) + r0
     ci = jax.lax.broadcasted_iota(jnp.int32, (rows, wg + 2, 1), 1)
     inside = (ri >= 1) & (ri <= h) & (ci >= 1) & (ci <= wg)
@@ -210,7 +212,29 @@ def _zero_borders(ref, h, wg):
     ref[0, :, wg + 1:wg + 2, :] = jnp.zeros((h + 2, 1, 128), ref.dtype)
 
 
-def _k_conv(xpad_ref, bands_ref, zpad_ref, sums_ref, acc, *, h, wg, ratio, dtype):
+def _conv_rows(src_ref, bands, r0, rows, wg, ratio, dtype, from_ref=True,
+               src_val=None):
+    """conv rows [r0, r0+rows) (unpadded coords) from a padded source:
+    9 banded matmuls; returns [rows, ratio*wg, 128] f32."""
+    accs = [jnp.zeros((rows * wg, 128), jnp.float32) for _ in range(ratio)]
+    for u in range(3):
+        for s in range(3):
+            if from_ref:
+                tile = src_ref[0, pl.ds(r0 + u, rows), s:s + wg, :]
+            else:
+                tile = jax.lax.slice(src_val, (u, s, 0),
+                                     (u + rows, s + wg, 128))
+            t2 = tile.reshape(rows * wg, 128).astype(dtype)
+            for r in range(ratio):
+                accs[r] = accs[r] + _dot(t2, bands[r, u, s])
+    if ratio == 1:
+        return accs[0].reshape(rows, wg, 128)
+    stacked = jnp.stack([a.reshape(rows, wg, 128) for a in accs], axis=2)
+    return stacked.reshape(rows, wg * ratio, 128)
+
+
+def _k_conv(xpad_ref, bands_ref, zpad_ref, sums_ref, acc, *, h, wg, ratio,
+            dtype):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -222,14 +246,16 @@ def _k_conv(xpad_ref, bands_ref, zpad_ref, sums_ref, acc, *, h, wg, ratio, dtype
     ns = _strips(h)
     rs = h // ns
     bands = bands_ref[...]
-    s0 = jnp.zeros((128,), jnp.float32)
-    s1 = jnp.zeros((128,), jnp.float32)
-    for i in range(ns):
-        z = _conv_strip(xpad_ref[0], bands, i * rs, rs, wg, ratio, dtype)
-        zpad_ref[0, 1 + i * rs:1 + (i + 1) * rs, 1:1 + wgo, :] = \
-            z.astype(dtype)
-        s0 = s0 + jnp.sum(z, axis=(0, 1))
-        s1 = s1 + jnp.sum(z * z, axis=(0, 1))
+
+    def body(i, carry):
+        s0, s1 = carry
+        r0 = i * rs
+        z = _conv_rows(xpad_ref, bands, r0, rs, wg, ratio, dtype)
+        zpad_ref[0, pl.ds(1 + r0, rs), 1:1 + wgo, :] = z.astype(zpad_ref.dtype)
+        return (s0 + jnp.sum(z, axis=(0, 1)), s1 + jnp.sum(z * z, axis=(0, 1)))
+
+    z128 = jnp.zeros((128,), jnp.float32)
+    s0, s1 = jax.lax.fori_loop(0, ns, body, (z128, z128))
     acc[0, :] += s0
     acc[1, :] += s1
 
@@ -238,12 +264,11 @@ def _k_conv(xpad_ref, bands_ref, zpad_ref, sums_ref, acc, *, h, wg, ratio, dtype
         sums_ref[...] = acc[...]
 
 
-def _a_strip(zpad_ref, coef_ref, r0, rows, h, wg, dtype):
-    """relu(bn(z)) over PADDED rows [r0, r0+rows) with borders re-zeroed
-    (bn shifts the zero padding)."""
-    zs = zpad_ref[0][r0:r0 + rows, :, :]
+def _a_rows(zpad_ref, coef_ref, r0, rows, h, wg, dtype):
+    """relu(bn(z)) for PADDED rows [r0, r0+rows), borders re-zeroed."""
+    zs = zpad_ref[0, pl.ds(r0, rows), :, :]
     a = jnp.maximum(_bn(zs, coef_ref[0], coef_ref[1]), 0.0)
-    return (a * _pad_border_mask(r0, rows, h, wg, jnp.float32)).astype(dtype)
+    return (a * _row_mask(r0, rows, h, wg, jnp.float32)).astype(dtype)
 
 
 def _k_bnconv(zpad_ref, coef_ref, bands_ref, z1pad_ref, sums_ref, acc,
@@ -259,15 +284,20 @@ def _k_bnconv(zpad_ref, coef_ref, bands_ref, z1pad_ref, sums_ref, acc,
     ns = _strips(h)
     rs = h // ns
     bands = bands_ref[...]
-    s0 = jnp.zeros((128,), jnp.float32)
-    s1 = jnp.zeros((128,), jnp.float32)
-    for i in range(ns):
-        apad = _a_strip(zpad_ref, coef_ref, i * rs, rs + 2, h, wg, dtype)
-        z1 = _conv_strip(apad, bands, 0, rs, wg, ratio, dtype)
-        z1pad_ref[0, 1 + i * rs:1 + (i + 1) * rs, 1:1 + wgo, :] = \
-            z1.astype(dtype)
-        s0 = s0 + jnp.sum(z1, axis=(0, 1))
-        s1 = s1 + jnp.sum(z1 * z1, axis=(0, 1))
+
+    def body(i, carry):
+        s0, s1 = carry
+        r0 = i * rs
+        apad = _a_rows(zpad_ref, coef_ref, r0, rs + 2, h, wg, dtype)
+        z1 = _conv_rows(None, bands, 0, rs, wg, ratio, dtype,
+                        from_ref=False, src_val=apad)
+        z1pad_ref[0, pl.ds(1 + r0, rs), 1:1 + wgo, :] = \
+            z1.astype(z1pad_ref.dtype)
+        return (s0 + jnp.sum(z1, axis=(0, 1)),
+                s1 + jnp.sum(z1 * z1, axis=(0, 1)))
+
+    z128 = jnp.zeros((128,), jnp.float32)
+    s0, s1 = jax.lax.fori_loop(0, ns, body, (z128, z128))
     acc[0, :] += s0
     acc[1, :] += s1
 
@@ -276,28 +306,34 @@ def _k_bnconv(zpad_ref, coef_ref, bands_ref, z1pad_ref, sums_ref, acc,
         sums_ref[...] = acc[...]
 
 
-def _k_bnpool(z1pad_ref, coef_ref, perms_ref, e_ref, p_ref, *, h, wg, c, dtype):
-    ns = _strips_even(h)
+def _k_bnpool(z1pad_ref, coef_ref, perms_ref, e_ref, p_ref, *, h, wg, c,
+              dtype):
+    ns = _strips(h)
     rs = h // ns
     perms = perms_ref[...]
-    for i in range(ns):
-        z1 = z1pad_ref[0][1 + i * rs:1 + (i + 1) * rs, 1:1 + wg, :]
+
+    def body(i, _):
+        r0 = i * rs
+        z1 = z1pad_ref[0, pl.ds(1 + r0, rs), 1:1 + wg, :]
         e = jnp.maximum(_bn(z1, coef_ref[0], coef_ref[1]), 0.0).astype(dtype)
-        e_ref[0, i * rs:(i + 1) * rs] = e
-        p_ref[0, i * rs // 2:(i + 1) * rs // 2] = \
-            _pool(e, perms, rs, wg, c).astype(dtype)
+        e_ref[0, pl.ds(r0, rs)] = e.astype(e_ref.dtype)
+        p_ref[0, pl.ds(r0 // 2, rs // 2)] = \
+            _pool(e, perms, rs, wg, c).astype(p_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ns, body, 0)
 
 
-def _dy_strip(z1pad_ref, coef_ref, perms_ref, dp_ref, de_ref, i, rs, wg, c,
-              dtype):
-    """dy1 for interior rows [i*rs, (i+1)*rs): pool-bwd + skip cotangent,
-    masked by relu'."""
-    z1 = z1pad_ref[0][1 + i * rs:1 + (i + 1) * rs, 1:1 + wg, :]
+def _dy_rows(z1pad_ref, coef_ref, perms_ref, dp_ref, de_ref, r0, rs, wg, c,
+             dtype):
+    """dy1 for interior rows [r0, r0+rs): pool-bwd + skip cotangent, masked
+    by relu'. Returns (dy [f32], z1)."""
+    z1 = z1pad_ref[0, pl.ds(1 + r0, rs), 1:1 + wg, :]
     y = _bn(z1, coef_ref[0], coef_ref[1])
     e = jnp.maximum(y, 0.0).astype(dtype)
-    dp = dp_ref[0][i * rs // 2:(i + 1) * rs // 2]
+    dp = dp_ref[0, pl.ds(r0 // 2, rs // 2)]
     da = _pool_bwd(e, dp, perms_ref[...], rs, wg, c).astype(jnp.float32)
-    da = da + de_ref[0][i * rs:(i + 1) * rs].astype(jnp.float32)
+    da = da + de_ref[0, pl.ds(r0, rs)].astype(jnp.float32)
     return jnp.where(y >= 0.0, da, 0.0), z1
 
 
@@ -309,15 +345,18 @@ def _k_poolsums(z1pad_ref, coef_ref, perms_ref, dp_ref, de_ref, sums_ref, acc,
     def _():
         acc[...] = jnp.zeros_like(acc)
 
-    ns = _strips_even(h)
+    ns = _strips(h)
     rs = h // ns
-    s0 = jnp.zeros((128,), jnp.float32)
-    s1 = jnp.zeros((128,), jnp.float32)
-    for i in range(ns):
-        dy, z1 = _dy_strip(z1pad_ref, coef_ref, perms_ref, dp_ref, de_ref,
-                           i, rs, wg, c, dtype)
-        s0 = s0 + jnp.sum(dy, axis=(0, 1))
-        s1 = s1 + jnp.sum(dy * z1.astype(jnp.float32), axis=(0, 1))
+
+    def body(i, carry):
+        s0, s1 = carry
+        dy, z1 = _dy_rows(z1pad_ref, coef_ref, perms_ref, dp_ref, de_ref,
+                          i * rs, rs, wg, c, dtype)
+        return (s0 + jnp.sum(dy, axis=(0, 1)),
+                s1 + jnp.sum(dy * z1.astype(jnp.float32), axis=(0, 1)))
+
+    z128 = jnp.zeros((128,), jnp.float32)
+    s0, s1 = jax.lax.fori_loop(0, ns, body, (z128, z128))
     acc[0, :] += s0
     acc[1, :] += s1
 
@@ -331,22 +370,45 @@ def _k_dz1(z1pad_ref, coef1_ref, dcoef1_ref, perms_ref, dp_ref, de_ref,
     """dz1 = bn-backward(dy1) via the global coefficients; written as a
     PADDED plane for the following transpose-conv kernel."""
     _zero_borders(dz1pad_ref, h, wg)
-    ns = _strips_even(h)
+    ns = _strips(h)
     rs = h // ns
-    for i in range(ns):
-        dy, z1 = _dy_strip(z1pad_ref, coef1_ref, perms_ref, dp_ref, de_ref,
-                           i, rs, wg, c, dtype)
+
+    def body(i, _):
+        r0 = i * rs
+        dy, z1 = _dy_rows(z1pad_ref, coef1_ref, perms_ref, dp_ref, de_ref,
+                          r0, rs, wg, c, dtype)
         dz = (dcoef1_ref[0] * dy + dcoef1_ref[1]
               + dcoef1_ref[2] * z1.astype(jnp.float32))
-        dz1pad_ref[0, 1 + i * rs:1 + (i + 1) * rs, 1:1 + wg, :] = \
-            dz.astype(dtype)
+        dz1pad_ref[0, pl.ds(1 + r0, rs), 1:1 + wg, :] = \
+            dz.astype(dz1pad_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ns, body, 0)
+
+
+def _convT_rows(dz_ref, bands_t, r0, rows, wg_out, ratio, dtype):
+    """Transpose-conv rows [r0, r0+rows) from a padded dz ref (padded 1 row /
+    `ratio` groups): reverse shifts, [rows, Wg_in, 128] f32."""
+    wg_in = wg_out // ratio
+    acc = jnp.zeros((rows * wg_in, 128), jnp.float32)
+    for u in range(3):
+        for s in range(3):
+            tile = dz_ref[0, pl.ds(r0 + 2 - u, rows),
+                          (2 - s) * ratio:(2 - s) * ratio + wg_out, :]
+            tile = tile.reshape(rows, wg_in, ratio, 128)
+            for r in range(ratio):
+                acc = acc + _dot(
+                    tile[:, :, r, :].reshape(rows * wg_in, 128).astype(dtype),
+                    bands_t[r, u, s])
+    return acc.reshape(rows, wg_in, 128)
 
 
 def _k_dwprev(dz1pad_ref, zprevpad_ref, coef0_ref, bands_t_ref,
-              dy0_ref, dband_ref, sums0_ref, dwacc, acc,
+              dy0pad_ref, dband_ref, sums0_ref, dwacc, acc,
               *, h, wg, dtype):
     """Banded dW1 accumulation against a0 = relu(bn0(z0)); dy0 =
-    (conv1^T dz1) * relu'0; bn0 lane sums. conv1 is same-G (ratio 1)."""
+    (conv1^T dz1) * relu'0 written as a PADDED plane; bn0 lane sums.
+    conv1 is same-G (ratio 1)."""
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -354,32 +416,37 @@ def _k_dwprev(dz1pad_ref, zprevpad_ref, coef0_ref, bands_t_ref,
         dwacc[...] = jnp.zeros_like(dwacc)
         acc[...] = jnp.zeros_like(acc)
 
+    _zero_borders(dy0pad_ref, h, wg)
     ns = _strips(h)
     rs = h // ns
     bands_t = bands_t_ref[...]
-    s0 = jnp.zeros((128,), jnp.float32)
-    s1 = jnp.zeros((128,), jnp.float32)
-    dws = [jnp.zeros((128, 128), jnp.float32) for _ in range(9)]
-    for i in range(ns):
-        apad = _a_strip(zprevpad_ref, coef0_ref, i * rs, rs + 2, h, wg, dtype)
-        dz = dz1pad_ref[0][1 + i * rs:1 + (i + 1) * rs, 1:1 + wg, :]
+
+    def body(i, carry):
+        s0, s1 = carry
+        r0 = i * rs
+        apad = _a_rows(zprevpad_ref, coef0_ref, r0, rs + 2, h, wg, dtype)
+        dz = dz1pad_ref[0, pl.ds(1 + r0, rs), 1:1 + wg, :]
         dz2d = dz.reshape(rs * wg, 128).astype(dtype)
+        parts = []
         for u in range(3):
             for s in range(3):
-                tile = apad[u:u + rs, s:s + wg, :]
-                dws[u * 3 + s] = dws[u * 3 + s] + jax.lax.dot_general(
+                tile = jax.lax.slice(apad, (u, s, 0), (u + rs, s + wg, 128))
+                parts.append(jax.lax.dot_general(
                     tile.reshape(rs * wg, 128), dz2d,
                     (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-        da0 = _convT_strip(dz1pad_ref[0], bands_t, i * rs, rs, wg, 1, dtype)
-        z0 = zprevpad_ref[0][1 + i * rs:1 + (i + 1) * rs, 1:1 + wg, :]
+                    preferred_element_type=jnp.float32))
+        dwacc[...] += jnp.stack(parts)
+        da0 = _convT_rows(dz1pad_ref, bands_t, r0, rs, wg, 1, dtype)
+        z0 = zprevpad_ref[0, pl.ds(1 + r0, rs), 1:1 + wg, :]
         y0 = _bn(z0, coef0_ref[0], coef0_ref[1])
         dy0 = jnp.where(y0 >= 0.0, da0, 0.0)
-        dy0_ref[0, i * rs:(i + 1) * rs] = dy0.astype(dy0_ref.dtype)
-        s0 = s0 + jnp.sum(dy0, axis=(0, 1))
-        s1 = s1 + jnp.sum(dy0 * z0.astype(jnp.float32), axis=(0, 1))
-    for k in range(9):
-        dwacc[k] += dws[k]
+        dy0pad_ref[0, pl.ds(1 + r0, rs), 1:1 + wg, :] = \
+            dy0.astype(dy0pad_ref.dtype)
+        return (s0 + jnp.sum(dy0, axis=(0, 1)),
+                s1 + jnp.sum(dy0 * z0.astype(jnp.float32), axis=(0, 1)))
+
+    z128 = jnp.zeros((128,), jnp.float32)
+    s0, s1 = jax.lax.fori_loop(0, ns, body, (z128, z128))
     acc[0, :] += s0
     acc[1, :] += s1
 
@@ -389,12 +456,12 @@ def _k_dwprev(dz1pad_ref, zprevpad_ref, coef0_ref, bands_t_ref,
         sums0_ref[...] = acc[...]
 
 
-def _k_dwdx(zpad_ref, dcoef_ref, dy_ref, xpad_ref, bands_t_ref,
+def _k_dwdx(zpad_ref, dcoef_ref, dy0pad_ref, xpad_ref, bands_t_ref,
             dx_ref, dband_ref, dwacc, *, h, wg, ratio, dtype):
     """First-packed-conv backward (stage-2): dz0 from coef; banded dW0
-    accumulation against the stage input; dx = conv0^T(dz0). To give the
-    transpose conv its row halo, each strip recomputes dz for rows
-    [i*rs-1, (i+1)*rs+1) (elementwise) into a local padded buffer."""
+    accumulation against the stage input; dx = conv0^T(dz0). Each strip
+    recomputes dz for rows [r0, r0+rs+2) (elementwise) into a local padded
+    buffer to give the transpose conv its row halo."""
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -405,43 +472,54 @@ def _k_dwdx(zpad_ref, dcoef_ref, dy_ref, xpad_ref, bands_t_ref,
     ns = _strips(h)
     rs = h // ns
     bands_t = bands_t_ref[...]
-    dws = [jnp.zeros((128, 128), jnp.float32) for _ in range(9 * ratio)]
-
-    dypad = jnp.pad(dy_ref[0], ((1, 1), (1, 1), (0, 0)))
 
     def dz_rows(r0, rows):
-        """dz for PADDED rows [r0, r0+rows) (borders zero), group-padded by
-        `ratio` for the transpose conv."""
-        z = zpad_ref[0][r0:r0 + rows, :, :]
-        dyp = dypad[r0:r0 + rows, :, :]
+        z = zpad_ref[0, pl.ds(r0, rows), :, :]
+        dyp = dy0pad_ref[0, pl.ds(r0, rows), :, :]
         dz = (dcoef_ref[0] * dyp.astype(jnp.float32) + dcoef_ref[1]
               + dcoef_ref[2] * z.astype(jnp.float32))
-        dz = dz * _pad_border_mask(r0, rows, h, wg, jnp.float32)
+        dz = dz * _row_mask(r0, rows, h, wg, jnp.float32)
         if ratio > 1:
-            dz = jnp.pad(dz[:, 1:1 + wg, :],
-                         ((0, 0), (ratio, ratio), (0, 0)))
+            dz = jnp.pad(dz[:, 1:1 + wg, :], ((0, 0), (ratio, ratio), (0, 0)))
         return dz.astype(dtype)
 
-    for i in range(ns):
-        dzpad = dz_rows(i * rs, rs + 2)
-        dzi = dzpad[1:1 + rs, ratio:ratio + wg, :] if ratio > 1 else \
-            dzpad[1:1 + rs, 1:1 + wg, :]
+    def body(i, _):
+        r0 = i * rs
+        dzpad = dz_rows(r0, rs + 2)
+        if ratio > 1:
+            dzi = jax.lax.slice(dzpad, (1, ratio, 0),
+                                (1 + rs, ratio + wg, 128))
+        else:
+            dzi = jax.lax.slice(dzpad, (1, 1, 0), (1 + rs, 1 + wg, 128))
         dzr = dzi.reshape(rs, wg_in, ratio, 128)
+        parts = []
         for u in range(3):
             for s in range(3):
-                tile = xpad_ref[0][i * rs + u:i * rs + u + rs,
-                                   s:s + wg_in, :]
+                tile = xpad_ref[0, pl.ds(r0 + u, rs), s:s + wg_in, :]
                 t2d = tile.reshape(rs * wg_in, 128).astype(dtype)
                 for r in range(ratio):
-                    dws[(u * 3 + s) * ratio + r] = \
-                        dws[(u * 3 + s) * ratio + r] + jax.lax.dot_general(
-                            t2d, dzr[:, :, r, :].reshape(rs * wg_in, 128),
-                            (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        dx = _convT_strip(dzpad, bands_t, 0, rs, wg, ratio, dtype)
-        dx_ref[0, i * rs:(i + 1) * rs] = dx.astype(dx_ref.dtype)
-    for k in range(9 * ratio):
-        dwacc[k] += dws[k]
+                    parts.append(jax.lax.dot_general(
+                        t2d, dzr[:, :, r, :].reshape(rs * wg_in, 128),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+        dwacc[...] += jnp.stack(parts)
+        wg_out2 = wg  # conv0 output groups
+        dx = jnp.zeros((rs * wg_in, 128), jnp.float32)
+        for u in range(3):
+            for s in range(3):
+                tile = jax.lax.slice(
+                    dzpad, (2 - u, (2 - s) * ratio, 0),
+                    (2 - u + rs, (2 - s) * ratio + wg_out2, 128))
+                tile = tile.reshape(rs, wg_in, ratio, 128)
+                for r in range(ratio):
+                    dx = dx + _dot(
+                        tile[:, :, r, :].reshape(rs * wg_in, 128),
+                        bands_t[r, u, s])
+        dx_ref[0, pl.ds(r0, rs)] = dx.reshape(rs, wg_in, 128).astype(
+            dx_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ns, body, 0)
 
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
@@ -556,7 +634,7 @@ def _fwd(x, w0, g0, b0, w1, g1, b1, c_in, c_out, dtype_name, external_first):
              jax.ShapeDtypeStruct((2, 128), jnp.float32)),
             (_plane_in(h + 2, wg + 2), _vec_out()),
             [pltpu.VMEM((2, 128), jnp.float32)],
-        )(x.astype(dtype), bands0)
+        )(x.astype(dtype), bands0.astype(dtype))
     n = bsz * h * wg * (128 // c)
     mean0, var0, inv0, shift0 = _bn_fwd_coef(sums0, n, g0, b0)
     coef0 = _vecs(_lane(inv0, c), _lane(shift0, c))
@@ -570,7 +648,7 @@ def _fwd(x, w0, g0, b0, w1, g1, b1, c_in, c_out, dtype_name, external_first):
          jax.ShapeDtypeStruct((2, 128), jnp.float32)),
         (_plane_in(h + 2, wg + 2), _vec_out()),
         [pltpu.VMEM((2, 128), jnp.float32)],
-    )(zpad, coef0, bands1)
+    )(zpad, coef0, bands1.astype(dtype))
     mean1, var1, inv1, shift1 = _bn_fwd_coef(sums1, n, g1, b1)
     coef1 = _vecs(_lane(inv1, c), _lane(shift1, c))
 
@@ -643,21 +721,21 @@ def _bwd(c_in, c_out, dtype_name, external_first, res, cts):
         _plane_in(h + 2, wg + 2),
         [],
     )(z1pad, coef1, dcoef1, perms, dp.astype(dtype), de.astype(dtype))
-    dy0, dband1, sums_dy0 = _pc(
+    dy0pad, dband1, sums_dy0 = _pc(
         functools.partial(_k_dwprev, h=h, wg=wg, dtype=dtype),
         bsz,
         [_plane_in(h + 2, wg + 2), _plane_in(h + 2, wg + 2),
          _full_in((2, 128)), _full_in(bands1_t.shape)],
-        (jax.ShapeDtypeStruct((bsz, h, wg, 128), dtype),
+        (jax.ShapeDtypeStruct((bsz, h + 2, wg + 2, 128), dtype),
          jax.ShapeDtypeStruct((9, 128, 128), jnp.float32),
          jax.ShapeDtypeStruct((2, 128), jnp.float32)),
-        (_plane_in(h, wg),
+        (_plane_in(h + 2, wg + 2),
          pl.BlockSpec((9, 128, 128), lambda b: (0, 0, 0),
                       memory_space=pltpu.VMEM),
          _vec_out()),
         [pltpu.VMEM((9, 128, 128), jnp.float32),
          pltpu.VMEM((2, 128), jnp.float32)],
-    )(dz1pad, zpad, coef0, bands1_t)
+    )(dz1pad, zpad, coef0, bands1_t.astype(dtype))
     c0_0, c1_0, c2_0, dg0, db0_ = _bn_bwd_coef(sums_dy0, n, mean0, var0, g0)
     dcoef0 = _vecs(_lane(c0_0, c), _lane(c1_0, c), _lane(c2_0, c))
 
@@ -669,6 +747,7 @@ def _bwd(c_in, c_out, dtype_name, external_first, res, cts):
     if external_first:
         # dz0 back to the XLA conv: elementwise bn-backward on the plane
         z0 = zpad[:, 1:h + 1, 1:wg + 1, :].astype(jnp.float32)
+        dy0 = dy0pad[:, 1:h + 1, 1:wg + 1, :]
         dz0 = (_lane(c0_0, c) * dy0.astype(jnp.float32) + _lane(c1_0, c)
                + _lane(c2_0, c) * z0)
         dxx = jnp.pad(dz0, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -679,15 +758,16 @@ def _bwd(c_in, c_out, dtype_name, external_first, res, cts):
     dx, dband0 = _pc(
         functools.partial(_k_dwdx, h=h, wg=wg, ratio=ratio0, dtype=dtype),
         bsz,
-        [_plane_in(h + 2, wg + 2), _full_in((3, 128)), _plane_in(h, wg),
+        [_plane_in(h + 2, wg + 2), _full_in((3, 128)),
+         _plane_in(h + 2, wg + 2),
          _plane_in(h + 2, wg0_in + 2), _full_in(bands0_t.shape)],
-        (jax.ShapeDtypeStruct((bsz, h, wg0_in, 128), jnp.float32),
+        (jax.ShapeDtypeStruct((bsz, h, wg0_in, 128), dtype),
          jax.ShapeDtypeStruct((9 * ratio0, 128, 128), jnp.float32)),
         (_plane_in(h, wg0_in),
          pl.BlockSpec((9 * ratio0, 128, 128), lambda b: (0, 0, 0),
                       memory_space=pltpu.VMEM)),
         [pltpu.VMEM((9 * ratio0, 128, 128), jnp.float32)],
-    )(zpad, dcoef0, dy0, x.astype(dtype), bands0_t)
+    )(zpad, dcoef0, dy0pad, x.astype(dtype), bands0_t.astype(dtype))
     dxx = jnp.pad(dx, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(x.dtype)
     _, vjp0 = jax.vjp(lambda w: _bands_fwd(w, ratio0), w0)
     # accumulator index order (u, s, r) -> band layout [r, u, s, 128, 128]
