@@ -30,13 +30,19 @@ from ..ops import fused_self_paced_supcon, fused_supcon
 from ..schedulers.gamma import PScheduler
 
 
-_FUSED_MIN_ROWS = 1024  # measured crossover on v5e: pallas wins from 2N ~ 1k
+# Measured crossover on the v5e DEVICE PLANE (scripts/measure_crossover2.py:
+# 50 chained loss+grad iterations per program so sub-ms sizes are resolvable;
+# round-3 table in RESULTS.md / tmp/crossover2_r3.json): the fused kernel
+# wins at EVERY measured size — 1.46x @2N=128, ~1.2x @256-2048, 2.36x @4096.
+# Round 2's 1024 was a guess from dispatch-bound per-call timing (noise).
+# 128 is the floor simply because smaller batches were not measured and the
+# loss cost there is negligible either way (<6us).
+_FUSED_MIN_ROWS = 128
 
 
 def _use_fused(flag, n_views: int) -> bool:
-    """auto -> Pallas kernel on TPU for large global batches (where its
-    no-HBM-intermediates design wins; at the reference's tiny 2N=60 the
-    naive XLA path is faster), naive jnp elsewhere."""
+    """auto -> Pallas kernel on TPU from 2N >= 128 (measured faster at every
+    size from there up), naive jnp elsewhere."""
     if flag == "auto":
         return jax.default_backend() == "tpu" and n_views >= _FUSED_MIN_ROWS
     return bool(flag)
