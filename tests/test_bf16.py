@@ -5,6 +5,9 @@ import numpy as np
 
 from spcl_tpu.entry.common import build_model_from_config
 from spcl_tpu.models import UNet
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-epoch integration (see pyproject)
 
 
 def test_build_model_dtype_config():

@@ -11,6 +11,8 @@ from spcl_tpu.models import UNet
 from spcl_tpu.training import FineTuneTrainer, SemiTrainer, PretrainEncoderTrainer
 from spcl_tpu.data import create_contrastive_loader
 
+pytestmark = pytest.mark.slow  # multi-epoch integration (see pyproject)
+
 CANVAS, CROP = 64, 48
 CONFIG = {"Optim": {"name": "adam", "lr": 1e-3}, "Trainer": {"save_every": 100}}
 

@@ -10,6 +10,9 @@ from spcl_tpu.data.augment import AugmentPolicy
 from spcl_tpu.hooks import ConsistencyTrainerHook, SelfPacedINFONCEHook
 from spcl_tpu.models import UNet
 from spcl_tpu.training import FineTuneTrainer, PretrainEncoderTrainer, SemiTrainer
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-epoch integration (see pyproject)
 
 CANVAS, CROP = 64, 48
 

@@ -8,6 +8,9 @@ from spcl_tpu.data import get_data, synthetic_dataset
 from spcl_tpu.data.augment import AugmentPolicy
 from spcl_tpu.models import UNet
 from spcl_tpu.training import FineTuneTrainer
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-epoch integration (see pyproject)
 
 CANVAS, CROP = 64, 48
 

@@ -22,6 +22,8 @@ from spcl_tpu.models import UNet
 from spcl_tpu.models.masking import stages_from_range
 from spcl_tpu.training import FineTuneTrainer, PretrainEncoderTrainer
 
+pytestmark = pytest.mark.slow  # multi-epoch integration (see pyproject)
+
 CANVAS, CROP = 64, 48
 CONFIG = {"Optim": {"name": "RAdam", "lr": 1e-4, "weight_decay": 1e-5}}
 
