@@ -46,7 +46,10 @@ def build_model_from_config(config: Dict) -> UNet:
         num_classes=int(arch.get("num_classes", data2class_numbers.get(data_name, 4))),
         max_channel=int(arch.get("max_channel", 256)),
         momentum=float(arch.get("momentum", 0.1)),
-        dtype=dtype)
+        dtype=dtype,
+        # stage-1/2 layout experiments (RESULTS.md round 3): nhwc is the
+        # measured-fastest default; nchw/packed/pallas are kept selectable
+        small_c_layout=str(arch.get("small_c_layout", "nhwc")))
 
 
 _DATASET_CACHE: Dict = {}

@@ -31,6 +31,9 @@ class AverageValueMeter(Metric):
     def mean(self) -> float:
         return self._mean if self._n else float("nan")
 
+    def empty(self) -> bool:
+        return self._n == 0
+
     @property
     def std(self) -> float:
         if self._n < 2:

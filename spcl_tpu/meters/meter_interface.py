@@ -60,10 +60,13 @@ class MeterInterface:
     def statistics(self, group: str = None) -> Dict[str, Dict]:
         """{group: {meter: summary}} — hides `_`-prefixed groups unless asked."""
         if group is not None:
-            return {name: meter.summary() for name, meter in self._groups.get(group, {}).items()}
+            return {name: meter.summary()
+                    for name, meter in self._groups.get(group, {}).items()
+                    if not meter.empty()}
         out = {}
         for gname, meters in self._groups.items():
             if gname.startswith("_"):
                 continue
-            out[gname] = {name: meter.summary() for name, meter in meters.items()}
+            out[gname] = {name: meter.summary() for name, meter in meters.items()
+                          if not meter.empty()}
         return out

@@ -19,6 +19,10 @@ class _StopToken:
 
 
 class Metric(ABC):
+    def empty(self) -> bool:
+        """True when no observation was ever added (skipped by statistics)."""
+        return False
+
     def __init__(self, threaded: bool = False):
         self._threaded = threaded
         self._queue: "queue.Queue" = None

@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # step-compile/integration heavy (see pyproject)
+
 TINY = [
     "Data.synthetic=true", "Data.canvas=64", "Data.crop=48",
     "Data.synthetic_scans=8", "Data.synthetic_test_scans=4",

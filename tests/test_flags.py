@@ -13,6 +13,8 @@ from spcl_tpu.losses import supcon_loss
 from spcl_tpu.models import UNet
 from spcl_tpu.training import SemiTrainer
 
+pytestmark = pytest.mark.slow  # step-compile/integration heavy (see pyproject)
+
 CANVAS, CROP = 64, 48
 
 

@@ -17,6 +17,9 @@ from spcl_tpu.models import UNet
 from spcl_tpu.models.masking import stage_trainable_mask, stages_from_range
 from spcl_tpu.training import build_optimizer, create_train_state
 from spcl_tpu.training.steps import build_pretrain_step
+import pytest
+
+pytestmark = pytest.mark.slow  # step-compile/integration heavy (see pyproject)
 
 CANVAS, CROP = 64, 48
 

@@ -1,5 +1,8 @@
 """Inference + weight-inspection entry points on synthetic data."""
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # step-compile/integration heavy (see pyproject)
 
 
 TINY = [

@@ -9,6 +9,9 @@ from spcl_tpu.hooks import SelfPacedINFONCEHook
 from spcl_tpu.models import UNet
 from spcl_tpu.models.masking import stages_from_range
 from spcl_tpu.training import PretrainEncoderTrainer
+import pytest
+
+pytestmark = pytest.mark.slow  # step-compile/integration heavy (see pyproject)
 
 CANVAS, CROP = 64, 48
 

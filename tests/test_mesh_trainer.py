@@ -198,3 +198,28 @@ def test_mesh_resume_roundtrip(data, tmp_path):
     # resumed state is still mesh-replicated (next epoch runs sharded)
     leaf = t8b.state.params["model"]["Conv1"]["conv0"]["kernel"]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_mesh_defer_reads_matches_eager(data, tmp_path):
+    """defer_reads (zero-read loop, device-side best-checkpoint compare)
+    composes with the mesh: same best score and params as the eager mesh
+    run."""
+    te = _mk_finetune(data, tmp_path / "eager", mesh=8)
+    se = te.start_training()
+    tra, test = data
+    lab, unlab, val, _ = get_data(tra_set=tra, test_set=test, labeled_scan_num=4,
+                                  labeled_batch_size=8, unlabeled_batch_size=8,
+                                  load_predefined_list=False, pad_eval_to=8)
+    td = _FineTune(model=UNet(input_dim=1, num_classes=4, max_channel=128),
+                   labeled_loader=lab, unlabeled_loader=unlab,
+                   val_loader=val, test_loader=None, save_dir=str(tmp_path / "defer"),
+                   max_epoch=1, num_batches=2, config=dict(CONFIG), crop=CROP,
+                   data_name="acdc", mesh=8, defer_reads=True)
+    td.init()
+    sd = td.start_training()
+    np.testing.assert_allclose(se, sd, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(te.state.params["model"]["Conv1"]["conv0"]["kernel"]),
+        np.asarray(td.state.params["model"]["Conv1"]["conv0"]["kernel"]),
+        rtol=1e-5, atol=1e-7)
+    assert (tmp_path / "defer" / "best.ckpt").exists()

@@ -14,6 +14,8 @@ import pytest
 from spcl_tpu.models.packed_stage import pack, packed_conv, unpack
 from spcl_tpu.ops.packed_block_pallas import fused_packed_block
 
+pytestmark = pytest.mark.slow  # step-compile/integration heavy (see pyproject)
+
 
 def _bn_ref(z, gamma, beta, c):
     g = 128 // c

@@ -12,6 +12,8 @@ import pytest
 
 from spcl_tpu.parallel import make_mesh, replicate, shard_batch
 
+pytestmark = pytest.mark.slow  # step-compile/integration heavy (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def mesh():

@@ -7,6 +7,9 @@ from spcl_tpu.data import get_data, synthetic_dataset
 from spcl_tpu.data.augment import AugmentPolicy
 from spcl_tpu.models import UNet
 from spcl_tpu.training import FineTuneTrainer
+import pytest
+
+pytestmark = pytest.mark.slow  # step-compile/integration heavy (see pyproject)
 
 CANVAS, CROP = 64, 48
 CONFIG = {"Optim": {"name": "adam", "lr": 1e-3}}

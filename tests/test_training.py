@@ -20,6 +20,8 @@ from spcl_tpu.training import (
     SemiTrainer,
 )
 
+pytestmark = pytest.mark.slow  # step-compile/integration heavy (see pyproject)
+
 CANVAS, CROP = 64, 48
 CONFIG = {"Optim": {"name": "RAdam", "lr": 1e-4, "weight_decay": 1e-5},
           "Scheduler": {"multiplier": 10, "warmup_max": 2}}
