@@ -195,7 +195,7 @@ def _row_mean(row: jnp.ndarray, row_ok: Optional[jnp.ndarray]) -> jnp.ndarray:
     return jnp.sum(row * row_ok) / jnp.maximum(jnp.sum(row_ok), 1.0)
 
 
-def _valid2(valid: Optional[jnp.ndarray], n: int) -> Optional[jnp.ndarray]:
+def _valid2(valid: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
     if valid is None:
         return None
     return jnp.concatenate([valid, valid]).astype(jnp.float32)
@@ -218,7 +218,7 @@ def supcon_loss_in_mode(z1: jnp.ndarray, z2: jnp.ndarray, *,
     pos_count_raw = jnp.sum(pos2, axis=1)
     pos_count = jnp.maximum(pos_count_raw, 1.0)
     row = -jnp.log(jnp.maximum(pos_sum, _EPS) / jnp.maximum(pos_sum + neg_sum, _EPS)) / pos_count
-    v2 = _valid2(valid, n)
+    v2 = _valid2(valid)
     row_ok = None if v2 is None else v2 * (pos_count_raw > 0)
     return _row_mean(row, row_ok)
 
@@ -239,7 +239,7 @@ def soft_supcon_loss(z1: jnp.ndarray, z2: jnp.ndarray, *, pos_weight: jnp.ndarra
     n = z1.shape[0]
     w2 = jnp.tile(pos_weight.astype(jnp.float32), (2, 2))
     not_diag = 1.0 - jnp.eye(2 * n, dtype=jnp.float32)
-    v2 = _valid2(valid, n)
+    v2 = _valid2(valid)
     if v2 is not None:
         not_diag = not_diag * (v2[:, None] * v2[None, :])
     sim_logits = _sim_logits(z1, z2, temperature)
@@ -290,7 +290,7 @@ def block_soft_supcon_loss(z1: jnp.ndarray, z2: jnp.ndarray, *,
         n, one2one=one2one_weight, two2two=two2two_weight, one2two=one2two_weight)
     # soft_supcon_loss tiles [N,N]; here we already have [2N,2N]: inline it
     not_diag = 1.0 - jnp.eye(2 * n, dtype=jnp.float32)
-    v2 = _valid2(valid, n)
+    v2 = _valid2(valid)
     if v2 is not None:
         not_diag = not_diag * (v2[:, None] * v2[None, :])
     sim_logits = _sim_logits(z1, z2, temperature)

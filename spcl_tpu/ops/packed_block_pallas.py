@@ -53,48 +53,6 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _strips(h, target=28):
-    """Largest divisor of h that is <= target (static strip count: bounds the
-    f32 temporaries of whole-plane kernels under the ~16MB VMEM budget)."""
-    for s in range(min(target, h), 0, -1):
-        if h % s == 0:
-            return s
-    return 1
-
-
-def _conv_strip(xpad, bands, r0, rows, wg, ratio, dtype):
-    """Rows [r0, r0+rows) of conv(xpad): [rows, ratio*wg, 128].
-    bands [ratio, 3, 3, 128, 128]; lane dims never reshape (Mosaic)."""
-    accs = [jnp.zeros((rows * wg, 128), jnp.float32) for _ in range(ratio)]
-    for u in range(3):
-        for s in range(3):
-            tile = xpad[r0 + u:r0 + u + rows, s:s + wg, :]
-            t2 = tile.reshape(rows * wg, 128).astype(dtype)
-            for r in range(ratio):
-                accs[r] = accs[r] + _dot(t2, bands[r, u, s].astype(dtype))
-    if ratio == 1:
-        return accs[0].reshape(rows, wg, 128)
-    stacked = jnp.stack([a.reshape(rows, wg, 128) for a in accs], axis=2)
-    return stacked.reshape(rows, wg * ratio, 128)
-
-
-def _convT_strip(dzpad, bands_t, r0, rows, wg_out, ratio, dtype):
-    """Rows [r0, r0+rows) of the transpose conv (reverse shifts):
-    [rows, Wg_in, 128]. dzpad is padded by 1 row / `ratio` groups."""
-    wg_in = wg_out // ratio
-    acc = jnp.zeros((rows * wg_in, 128), jnp.float32)
-    for u in range(3):
-        for s in range(3):
-            tile = dzpad[r0 + 2 - u:r0 + 2 - u + rows,
-                         (2 - s) * ratio:(2 - s) * ratio + wg_out, :]
-            tile = tile.reshape(rows, wg_in, ratio, 128)
-            for r in range(ratio):
-                acc = acc + _dot(
-                    tile[:, :, r, :].reshape(rows * wg_in, 128).astype(dtype),
-                    bands_t[r, u, s].astype(dtype))
-    return acc.reshape(rows, wg_in, 128)
-
-
 def _bn(z, inv, shift):
     return z.astype(jnp.float32) * inv + shift
 

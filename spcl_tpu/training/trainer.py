@@ -530,9 +530,20 @@ class Trainer:
             per += 2 * self._unlabeled_loader.sampler._batch_size
         return per * self._num_batches
 
+    def _dispatch_batch(self, batch):
+        """Mesh: index vectors / host batches shard on the data axis before
+        entering the step (plain jit placement otherwise)."""
+        if self._mesh is None or batch is None:
+            return batch
+        import numpy as _np
+        if isinstance(batch, _np.ndarray):
+            return self._put_batch(batch)
+        return batch  # host-streaming batches are sharded by the prefetcher
+
     def _train_dispatch(self, batch_l, unl_iter, key, scalars):
         batch_u = next(unl_iter)
-        return self._train_step(self._state, batch_l, batch_u, key, scalars)
+        return self._train_step(self._state, self._dispatch_batch(batch_l),
+                                self._dispatch_batch(batch_u), key, scalars)
 
     def _consume_train_metrics(self, meters, metrics, groups, batch_l) -> None:
         m = jax.device_get(metrics)
@@ -888,7 +899,8 @@ class FineTuneTrainer(Trainer):
             out_size=self._eval_out_size()))
 
     def _train_dispatch(self, batch_l, unl_iter, key, scalars):
-        return self._train_step(self._state, batch_l, key, scalars)
+        return self._train_step(self._state, self._dispatch_batch(batch_l),
+                                key, scalars)
 
     # stream/index/group plumbing is inherited from Trainer: with
     # uses_unlabeled=False it naturally degrades to the labeled-only shapes
@@ -958,7 +970,8 @@ class AdversarialTrainer(Trainer):
 
     def _train_dispatch(self, batch_l, unl_iter, key, scalars):
         batch_u = next(unl_iter)
-        return self._train_step(self._state, batch_l, batch_u, key)
+        return self._train_step(self._state, self._dispatch_batch(batch_l),
+                                self._dispatch_batch(batch_u), key)
 
     def _consume_train_metrics(self, meters, metrics, groups, batch_l) -> None:
         m = jax.device_get(metrics)
@@ -989,7 +1002,8 @@ class _PretrainTrainer(Trainer):
     def _train_store(self):
         if not self._device_data:
             return None
-        return DeviceStore.for_dataset(self._contrastive_loader.dataset)
+        return DeviceStore.for_dataset(self._contrastive_loader.dataset,
+                                       mesh=self._mesh)
 
     def _build_steps(self) -> None:
         self._train_step = build_pretrain_step(
@@ -1034,14 +1048,17 @@ class _PretrainTrainer(Trainer):
                 dumped_matrices = self._matrix_probe(
                     self._state.params, self._state.batch_stats,
                     self._put_batch(np.asarray(mat[0])), key0, scalars)
+            # throughput counts REAL slices: both the contrast sampler and
+            # mesh rounding pad with -1 (valid=0) entries
+            valid_per_batch = 2 * int((mat >= 0).sum()) // max(mat.shape[0], 1)
             t0 = time.time()
             last = [t0]
             for b in range(self._num_batches):
-                n_slices += 2 * mat.shape[1]
+                n_slices += valid_per_batch
                 self._state, metrics = self._train_step.epoch_step(
                     self._state, dev_mat, dev_scalars)
                 pending.append(metrics)
-                self._progress(b, t0, last, 2 * mat.shape[1])
+                self._progress(b, t0, last, valid_per_batch)
         else:
             it = device_prefetch(
                 islice(iter(self._contrastive_loader), self._num_batches), depth=3)
@@ -1127,7 +1144,8 @@ class _PretrainTrainer(Trainer):
             # bound the dispatch queue at one epoch (a wait, not a read)
             jax.block_until_ready(self._state)
             records.append(dict(epoch=self._cur_epoch, train=stacked,
-                                n_slices=2 * mat.shape[1] * self._num_batches,
+                                n_slices=2 * int((mat >= 0).sum())
+                                * self._num_batches // max(mat.shape[0], 1),
                                 elapsed=time.time() - t0,
                                 lr=self._host_lr()))
             for h in self._hooks:

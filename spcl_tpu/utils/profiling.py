@@ -65,10 +65,10 @@ def device_op_breakdown(trace_dir: str, top: int = 0) -> Optional[dict]:
         for plane in xs.planes:
             if not plane.name.startswith("/device:TPU"):
                 continue
+            names = {m.id: m.name for m in plane.event_metadata.values()}
             for line in plane.lines:
                 if line.name != "XLA Ops":
                     continue
-                names = {m.id: m.name for m in plane.event_metadata.values()}
                 for e in line.events:
                     n = names.get(e.metadata_id, str(e.metadata_id))
                     totals[n] = totals.get(n, 0.0) + e.duration_ps / 1e9

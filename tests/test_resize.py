@@ -241,6 +241,10 @@ def test_shortest_side_eval_step_masks_dice():
     # dice pixel budget can't exceed the frame area (pad excluded):
     # union[c] = |pred==c| + |lab==c| summed over frame pixels only for c>=1
     assert union[0, 1:].sum() <= 2 * 44 * 32
+
+
+def test_cutout_erases_one_box():
+    import jax
     img = jnp.ones((2, 32, 32, 1), jnp.float32)
     out = np.asarray(apply_cutout(jax.random.PRNGKey(0), img, 6, 10))
     for b in range(2):
