@@ -32,7 +32,7 @@ from ..schedulers.gamma import PScheduler
 
 # Measured crossover on the v5e DEVICE PLANE (scripts/measure_crossover2.py:
 # 50 chained loss+grad iterations per program so sub-ms sizes are resolvable;
-# round-3 table in RESULTS.md / tmp/crossover2_r3.json): the fused kernel
+# round-3 table in RESULTS.md / benchmarks/crossover2_r3.json): the fused kernel
 # wins at EVERY measured size — 1.46x @2N=128, ~1.2x @256-2048, 2.36x @4096.
 # Round 2's 1024 was a guess from dispatch-bound per-call timing (noise).
 # 128 is the floor simply because smaller batches were not measured and the

@@ -4,7 +4,7 @@ Round-3 device profiling: the two small-C encoder stages cost 12.9 of the
 17.3 ms bf16 pretrain step. For C < 128 NHWC tensors XLA lays the BATCH into
 the 128-wide lanes (2N=60 -> 2.13x padded HBM traffic on every stage
 tensor); a logical-NCHW rewrite measures identical and a pure-jnp
-lane-packed rewrite loses to layout copies (tmp/step_ops*.json). These
+lane-packed rewrite loses to layout copies (benchmarks/step_ops_r3.json). These
 kernels run the validated lane-packed formulation (models/packed_stage.py:
 activations [B, H, Wg, 128] = G=128/C columns x C channels per lane group;
 3x3 convs as nine dense banded 128x128 matmuls) INSIDE Pallas where the
