@@ -63,6 +63,90 @@ def global_self_paced_supcon(z1_shard, z2_shard, target_shard, valid_shard, *,
     return loss, aux.downgrade_ratio
 
 
+def sharded_self_paced_supcon(z1_shard, z2_shard, target_shard, valid_shard, *,
+                              gamma, axis_name: str = "data",
+                              temperature: float = 0.07,
+                              weight_update: str = "soft",
+                              correct_grad: bool = False):
+    """ROW-SHARDED global self-paced SupCon — the ring-attention-shaped form
+    (SURVEY §5.7) that actually scales the O((2N)^2) matrix.
+
+    `global_self_paced_supcon` all-gathers and computes the FULL [2N, 2N]
+    matrix on every replica (replicated compute: fine for correctness, zero
+    per-chip savings). Here each shard computes only ITS row block
+    [2n_local, 2N] — per-chip similarity compute and memory drop by the mesh
+    size D — and the row reductions combine with one psum. Decomposition is
+    exact: the loss is a mean over rows whose terms need only full-ROW sums
+    (available locally after the column all_gather), and the reference's
+    detached global max-subtraction equals 1/T for L2-normalized inputs
+    because every local row block contains its own diagonal.
+
+    Inputs are per-shard [n_local, D] / [n_local]; must run inside shard_map
+    with `axis_name` bound. Returns (loss, downgrade_ratio), identical on
+    every replica and equal to the single-device loss on the gathered batch
+    (tests/test_parallel.py). Backward: the all_gather transposes to a
+    reduce_scatter automatically.
+    """
+    zg1 = jax.lax.all_gather(z1_shard, axis_name, tiled=True)   # [N, D]
+    zg2 = jax.lax.all_gather(z2_shard, axis_name, tiled=True)
+    tg = jax.lax.all_gather(target_shard, axis_name, tiled=True)
+    vg = jax.lax.all_gather(valid_shard, axis_name, tiled=True).astype(jnp.float32)
+    gamma = jnp.asarray(gamma, jnp.float32)
+
+    n_local = z1_shard.shape[0]
+    n_global = zg1.shape[0]
+    idx = jax.lax.axis_index(axis_name)
+    row_off = idx * n_local  # this shard's rows within the z1 half
+
+    z_rows = jnp.concatenate([z1_shard, z2_shard], axis=0).astype(jnp.float32)
+    z_cols = jnp.concatenate([zg1, zg2], axis=0).astype(jnp.float32)
+    # reference max-subtraction (contrast_loss3.py:28-29): detached GLOBAL
+    # max == local-block max (diagonal present in every row block)
+    sim = jnp.dot(z_rows, z_cols.T, preferred_element_type=jnp.float32) / temperature
+    sim = sim - jax.lax.stop_gradient(jnp.max(sim))
+
+    # masks for the local rows x global columns
+    t_rows = jnp.concatenate([target_shard, target_shard])
+    v_rows = jnp.concatenate([valid_shard, valid_shard]).astype(jnp.float32)
+    t_cols = jnp.concatenate([tg, tg])
+    v_cols = jnp.concatenate([vg, vg])
+    pos = jnp.equal(t_rows[:, None], t_cols[None, :]).astype(jnp.float32)
+    pos = pos * v_rows[:, None] * v_cols[None, :]
+    # zero the diagonal: local row r maps to global column row_off + r
+    # (first half) / n_global + row_off + r (second half)
+    grow = jnp.concatenate([row_off + jnp.arange(n_local),
+                            n_global + row_off + jnp.arange(n_local)])
+    not_diag = 1.0 - (jnp.arange(2 * n_global)[None, :] == grow[:, None])
+    pos = pos * not_diag
+    neg = (1.0 - jnp.equal(t_rows[:, None], t_cols[None, :]).astype(jnp.float32))
+    neg = neg * v_rows[:, None] * v_cols[None, :] * not_diag
+
+    sim_exp = jnp.exp(sim)
+    denom = jnp.sum(sim_exp * (pos + neg), axis=1, keepdims=True)
+    log_prob = sim - jnp.log(denom + 1e-16)
+
+    l_ij = -jax.lax.stop_gradient(log_prob)
+    if weight_update == "hard":
+        w = (l_ij <= gamma).astype(jnp.float32)
+    else:
+        w = jnp.maximum(1.0 - l_ij / gamma, 0.0)
+    sp = jnp.maximum(w, 1.0 - pos)
+
+    pos_count = jnp.sum(pos, axis=1)
+    row_loss = jnp.sum(log_prob * sp * pos, axis=1) / jnp.maximum(pos_count, 1.0)
+    row_ok = v_rows * (pos_count > 0)
+
+    # one psum combines every cross-shard reduction
+    parts = jax.lax.psum(jnp.stack([
+        jnp.sum(row_loss * row_ok), jnp.sum(row_ok),
+        jnp.sum(sp * pos), jnp.sum(pos)]), axis_name)
+    loss = -parts[0] / jnp.maximum(parts[1], 1.0)
+    ratio = parts[2] / jnp.maximum(parts[3], 1.0)
+    if correct_grad:
+        loss = jnp.where(ratio > 0, loss / jnp.maximum(ratio, 1e-16), loss)
+    return loss, ratio
+
+
 def make_global_supcon_fn(mesh: Mesh, *, axis_name: str = "data",
                           temperature: float = 0.07, weight_update: str = "soft",
                           correct_grad: bool = False, use_fused: Optional[bool] = None):
@@ -74,6 +158,25 @@ def make_global_supcon_fn(mesh: Mesh, *, axis_name: str = "data",
             temperature=temperature, weight_update=weight_update,
             correct_grad=correct_grad, use_fused=use_fused)
         return loss, ratio
+
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_sharded_supcon_fn(mesh: Mesh, *, axis_name: str = "data",
+                           temperature: float = 0.07, weight_update: str = "soft",
+                           correct_grad: bool = False):
+    """Jitted row-sharded fn(z1, z2, target, valid, gamma) -> (loss, ratio):
+    per-chip compute/memory O(2N * 2N / n_devices) (sharded_self_paced_supcon)."""
+    def shard_fn(z1, z2, target, valid, gamma):
+        return sharded_self_paced_supcon(
+            z1, z2, target, valid, gamma=gamma, axis_name=axis_name,
+            temperature=temperature, weight_update=weight_update,
+            correct_grad=correct_grad)
 
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,

@@ -167,3 +167,47 @@ def test_shard_map_global_contrastive(mesh):
         argnums=(0, 1))(jnp.asarray(z1), jnp.asarray(z2))
     np.testing.assert_allclose(np.asarray(g_sharded[0]), np.asarray(g_ref[0]),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_row_sharded_global_contrastive(mesh):
+    """sharded_self_paced_supcon (each chip computes its [2n_local, 2N] row
+    block; one psum combines reductions) must equal the single-device loss,
+    ratio and gradients — the genuinely scalable form of the global-batch
+    matrix (SURVEY 5.7)."""
+    from spcl_tpu.losses import self_paced_supcon_loss
+    from spcl_tpu.parallel.contrastive import make_sharded_supcon_fn
+
+    rng = np.random.RandomState(9)
+    n, d = 32, 16
+    z1 = rng.randn(n, d).astype(np.float32)
+    z1 /= np.linalg.norm(z1, axis=1, keepdims=True)
+    z2 = rng.randn(n, d).astype(np.float32)
+    z2 /= np.linalg.norm(z2, axis=1, keepdims=True)
+    labels = rng.randint(0, 4, n).astype(np.int32)
+    valid = np.ones(n, np.float32)
+    valid[-3:] = 0.0  # padded tail
+
+    for mode in ("soft", "hard"):
+        fn = make_sharded_supcon_fn(mesh, weight_update=mode, correct_grad=True)
+        sh = shard_batch({"z1": z1, "z2": z2, "t": labels, "v": valid}, mesh)
+        loss, ratio = fn(sh["z1"], sh["z2"], sh["t"], sh["v"], jnp.asarray(3.5))
+        ref_loss, ref_aux = self_paced_supcon_loss(
+            jnp.asarray(z1), jnp.asarray(z2), gamma=3.5, target=jnp.asarray(labels),
+            valid=jnp.asarray(valid), weight_update=mode, correct_grad=True)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5,
+                                   err_msg=mode)
+        np.testing.assert_allclose(float(ratio), float(ref_aux.downgrade_ratio),
+                                   rtol=1e-5)
+
+    fn = make_sharded_supcon_fn(mesh, weight_update="soft")
+    sh = shard_batch({"z1": z1, "z2": z2, "t": labels, "v": valid}, mesh)
+    g_sh = jax.jit(jax.grad(
+        lambda a, b: fn(a, b, sh["t"], sh["v"], jnp.asarray(3.5))[0],
+        argnums=(0, 1)))(sh["z1"], sh["z2"])
+    g_ref = jax.grad(lambda a, b: self_paced_supcon_loss(
+        a, b, gamma=3.5, target=jnp.asarray(labels), valid=jnp.asarray(valid),
+        weight_update="soft")[0], argnums=(0, 1))(jnp.asarray(z1), jnp.asarray(z2))
+    np.testing.assert_allclose(np.asarray(g_sh[0]), np.asarray(g_ref[0]),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_sh[1]), np.asarray(g_ref[1]),
+                               rtol=1e-4, atol=1e-7)
