@@ -223,3 +223,29 @@ def test_mesh_defer_reads_matches_eager(data, tmp_path):
         np.asarray(td.state.params["model"]["Conv1"]["conv0"]["kernel"]),
         rtol=1e-5, atol=1e-7)
     assert (tmp_path / "defer" / "best.ckpt").exists()
+
+
+def test_mesh_adversarial_stream_path(data, tmp_path):
+    """AdversarialTrainer has no epoch-batched step: under a mesh it takes
+    the stream-dispatch path (_dispatch_batch shards the padded index
+    vectors). One epoch must run with finite metrics."""
+    from spcl_tpu.training import AdversarialTrainer
+
+    class _Adv(AdversarialTrainer):
+        @property
+        def train_policy(self):
+            return AugmentPolicy(crop=CROP, rot_degrees=20.0, jitter=True)
+
+    tra, test = data
+    lab, unlab, val, _ = get_data(tra_set=tra, test_set=test, labeled_scan_num=4,
+                                  labeled_batch_size=8, unlabeled_batch_size=8,
+                                  load_predefined_list=False, pad_eval_to=8)
+    tr = _Adv(model=UNet(input_dim=1, num_classes=4, max_channel=128),
+              labeled_loader=lab, unlabeled_loader=unlab, val_loader=val,
+              test_loader=None, save_dir=str(tmp_path), max_epoch=1,
+              num_batches=2, config=dict(CONFIG), crop=CROP,
+              data_name="acdc", reg_weight=0.01, mesh=8)
+    tr.init()
+    stats = tr._run_train_epoch()
+    assert np.isfinite(stats["adv_reg"]["gen_loss"]["mean"])
+    assert np.isfinite(stats["adv_reg"]["dis_loss"]["mean"])
