@@ -145,13 +145,23 @@ def _repad(z):
 # strip loop at 28 strips made the remote compiler OOM).
 
 
-def _strips(h, target=16):
-    """Largest strip count <= target dividing h with an EVEN strip height
-    (pooling pairs rows; even also keeps conv strip loads aligned)."""
-    for s in range(min(target, h), 0, -1):
+def _strips(h, wg=None, budget_bytes=5 * 1024 * 1024, row_factor=8):
+    """Smallest strip count dividing h with an EVEN strip height whose f32
+    temporaries fit `budget_bytes` (fori_loop keeps ONE strip's temps live —
+    bigger strips mean bigger matmul M and far less per-strip launch
+    latency; the first fixed-16 version ran 4x more, tiny [112,128] matmuls
+    and measured latency-bound)."""
+    if wg is None:
+        wg = 32  # conservative default
+    per_row = row_factor * (wg + 2) * 128 * 4  # live f32 row-planes per strip
+    rows_max = max(budget_bytes // per_row, 2)
+    best = None
+    for s in range(1, h + 1):
         if h % s == 0 and (h // s) % 2 == 0:
-            return s
-    return 1
+            if h // s <= rows_max:
+                return s
+            best = s
+    return best or 1
 
 
 def _row_mask(r0, rows, h, wg, dtype):
@@ -201,7 +211,7 @@ def _k_conv(xpad_ref, bands_ref, zpad_ref, sums_ref, acc, *, h, wg, ratio,
 
     wgo = wg * ratio
     _zero_borders(zpad_ref, h, wgo)
-    ns = _strips(h)
+    ns = _strips(h, wg)
     rs = h // ns
     bands = bands_ref[...]
 
@@ -239,7 +249,7 @@ def _k_bnconv(zpad_ref, coef_ref, bands_ref, z1pad_ref, sums_ref, acc,
 
     wgo = wg * ratio
     _zero_borders(z1pad_ref, h, wgo)
-    ns = _strips(h)
+    ns = _strips(h, wg)
     rs = h // ns
     bands = bands_ref[...]
 
@@ -266,7 +276,7 @@ def _k_bnconv(zpad_ref, coef_ref, bands_ref, z1pad_ref, sums_ref, acc,
 
 def _k_bnpool(z1pad_ref, coef_ref, perms_ref, e_ref, p_ref, *, h, wg, c,
               dtype):
-    ns = _strips(h)
+    ns = _strips(h, wg)
     rs = h // ns
     perms = perms_ref[...]
 
@@ -303,7 +313,7 @@ def _k_poolsums(z1pad_ref, coef_ref, perms_ref, dp_ref, de_ref, sums_ref, acc,
     def _():
         acc[...] = jnp.zeros_like(acc)
 
-    ns = _strips(h)
+    ns = _strips(h, wg)
     rs = h // ns
 
     def body(i, carry):
@@ -328,7 +338,7 @@ def _k_dz1(z1pad_ref, coef1_ref, dcoef1_ref, perms_ref, dp_ref, de_ref,
     """dz1 = bn-backward(dy1) via the global coefficients; written as a
     PADDED plane for the following transpose-conv kernel."""
     _zero_borders(dz1pad_ref, h, wg)
-    ns = _strips(h)
+    ns = _strips(h, wg)
     rs = h // ns
 
     def body(i, _):
@@ -375,7 +385,7 @@ def _k_dwprev(dz1pad_ref, zprevpad_ref, coef0_ref, bands_t_ref,
         acc[...] = jnp.zeros_like(acc)
 
     _zero_borders(dy0pad_ref, h, wg)
-    ns = _strips(h)
+    ns = _strips(h, wg, row_factor=20)
     rs = h // ns
     bands_t = bands_t_ref[...]
 
@@ -427,7 +437,7 @@ def _k_dwdx(zpad_ref, dcoef_ref, dy0pad_ref, xpad_ref, bands_t_ref,
         dwacc[...] = jnp.zeros_like(dwacc)
 
     wg_in = wg // ratio
-    ns = _strips(h)
+    ns = _strips(h, wg, row_factor=40)
     rs = h // ns
     bands_t = bands_t_ref[...]
 
