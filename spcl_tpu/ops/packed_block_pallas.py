@@ -180,6 +180,47 @@ def _zero_borders(ref, h, wg):
     ref[0, :, wg + 1:wg + 2, :] = jnp.zeros((h + 2, 1, 128), ref.dtype)
 
 
+
+def _flat(v):
+    """[R, W, 128] -> [W + R*W + W, 128] (non-lane merge, layout-trivial)
+    with one zero pad ROW on each end so corner taps (offset -1 / +1 beyond
+    the plane) stay in bounds; window offsets must add `W`."""
+    r, w, _ = v.shape
+    return jnp.pad(v.reshape(r * w, 128), ((w, w), (0, 0)))
+
+
+def _conv_flat(plane, bands, rp0, rows, h, wg, dtype):
+    """Same-G conv over PADDED rows [rp0, rp0+rows) computed on the FULL
+    padded width: each tap is a CONTIGUOUS flat window (offset
+    (u-1)*(wg+2) + (s-1)) — no pad-dropping reshape, so no per-tap VREG
+    compaction. Pad columns compute garbage and must be masked by the
+    caller. plane: [h+2, wg+2, 128] VALUE; returns [rows, wg+2, 128] f32."""
+    width = wg + 2
+    flat = _flat(plane)
+    P = rows * width
+    acc = jnp.zeros((P, 128), jnp.float32)
+    for u in range(3):
+        for s in range(3):
+            off = (rp0 + u - 1) * width + width + (s - 1)
+            tile = jax.lax.slice(flat, (off, 0), (off + P, 128))
+            acc = acc + _dot(tile.astype(dtype), bands[0, u, s])
+    return acc.reshape(rows, width, 128)
+
+
+def _convT_flat(plane, bands_t, rp0, rows, h, wg, dtype):
+    """Transpose form of _conv_flat (reverse offsets)."""
+    width = wg + 2
+    flat = _flat(plane)
+    P = rows * width
+    acc = jnp.zeros((P, 128), jnp.float32)
+    for u in range(3):
+        for s in range(3):
+            off = (rp0 + 1 - u) * width + width + (1 - s)
+            tile = jax.lax.slice(flat, (off, 0), (off + P, 128))
+            acc = acc + _dot(tile.astype(dtype), bands_t[0, u, s])
+    return acc.reshape(rows, width, 128)
+
+
 def _conv_rows(src_ref, bands, r0, rows, wg, ratio, dtype, from_ref=True,
                src_val=None):
     """conv rows [r0, r0+rows) (unpadded coords) from a padded source:
@@ -247,25 +288,22 @@ def _k_bnconv(zpad_ref, coef_ref, bands_ref, z1pad_ref, sums_ref, acc,
     def _():
         acc[...] = jnp.zeros_like(acc)
 
-    wgo = wg * ratio
-    _zero_borders(z1pad_ref, h, wgo)
+    assert ratio == 1  # conv1 is always same-G; expand convs use _k_conv
+    # whole-plane relu(bn(z)) once, borders re-zeroed (bn shifts the pad)
+    a_plane = _a_rows(zpad_ref, coef_ref, 0, h + 2, h, wg, dtype)
     ns = _strips(h, wg)
     rs = h // ns
     bands = bands_ref[...]
-
-    def body(i, carry):
-        s0, s1 = carry
-        r0 = i * rs
-        apad = _a_rows(zpad_ref, coef_ref, r0, rs + 2, h, wg, dtype)
-        z1 = _conv_rows(None, bands, 0, rs, wg, ratio, dtype,
-                        from_ref=False, src_val=apad)
-        z1pad_ref[0, pl.ds(1 + r0, rs), 1:1 + wgo, :] = \
-            z1.astype(z1pad_ref.dtype)
-        return (s0 + jnp.sum(z1, axis=(0, 1)),
-                s1 + jnp.sum(z1 * z1, axis=(0, 1)))
-
-    z128 = jnp.zeros((128,), jnp.float32)
-    s0, s1 = jax.lax.fori_loop(0, ns, body, (z128, z128))
+    s0 = jnp.zeros((128,), jnp.float32)
+    s1 = jnp.zeros((128,), jnp.float32)
+    for i in range(ns):  # python strips: _conv_flat offsets are static
+        z1w = _conv_flat(a_plane, bands, 1 + i * rs, rs, h, wg, dtype)
+        z1w = z1w * _row_mask(1 + i * rs, rs, h, wg, jnp.float32)
+        z1pad_ref[0, 1 + i * rs:1 + (i + 1) * rs, :, :] = \
+            z1w.astype(z1pad_ref.dtype)
+        s0 = s0 + jnp.sum(z1w, axis=(0, 1))
+        s1 = s1 + jnp.sum(z1w * z1w, axis=(0, 1))
+    _zero_borders(z1pad_ref, h, wg)
     acc[0, :] += s0
     acc[1, :] += s1
 
@@ -388,33 +426,39 @@ def _k_dwprev(dz1pad_ref, zprevpad_ref, coef0_ref, bands_t_ref,
     ns = _strips(h, wg, row_factor=20)
     rs = h // ns
     bands_t = bands_t_ref[...]
-
-    def body(i, carry):
-        s0, s1 = carry
-        r0 = i * rs
-        apad = _a_rows(zprevpad_ref, coef0_ref, r0, rs + 2, h, wg, dtype)
-        dz = dz1pad_ref[0, pl.ds(1 + r0, rs), 1:1 + wg, :]
-        dz2d = dz.reshape(rs * wg, 128).astype(dtype)
+    a_plane = _a_rows(zprevpad_ref, coef0_ref, 0, h + 2, h, wg, dtype)
+    a_flat = _flat(a_plane)
+    dz_flat = _flat(dz1pad_ref[0])  # pad rows/cols are ZERO by construction
+    width = wg + 2
+    s0 = jnp.zeros((128,), jnp.float32)
+    s1 = jnp.zeros((128,), jnp.float32)
+    for i in range(ns):  # python strips: flat offsets are static
+        rp0 = 1 + i * rs
+        P = rs * width
+        dzw = jax.lax.slice(dz_flat, (width + rp0 * width, 0),
+                            (width + rp0 * width + P, 128)).astype(dtype)
         parts = []
         for u in range(3):
             for s in range(3):
-                tile = jax.lax.slice(apad, (u, s, 0), (u + rs, s + wg, 128))
+                off = width + (rp0 + u - 1) * width + (s - 1)
+                tile = jax.lax.slice(a_flat, (off, 0), (off + P, 128))
+                # dz pad entries are zero, so full-width windows accumulate
+                # EXACTLY the interior dW
                 parts.append(jax.lax.dot_general(
-                    tile.reshape(rs * wg, 128), dz2d,
-                    (((0,), (0,)), ((), ())),
+                    tile, dzw, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
         dwacc[...] += jnp.stack(parts)
-        da0 = _convT_rows(dz1pad_ref, bands_t, r0, rs, wg, 1, dtype)
-        z0 = zprevpad_ref[0, pl.ds(1 + r0, rs), 1:1 + wg, :]
-        y0 = _bn(z0, coef0_ref[0], coef0_ref[1])
-        dy0 = jnp.where(y0 >= 0.0, da0, 0.0)
-        dy0pad_ref[0, pl.ds(1 + r0, rs), 1:1 + wg, :] = \
-            dy0.astype(dy0pad_ref.dtype)
-        return (s0 + jnp.sum(dy0, axis=(0, 1)),
-                s1 + jnp.sum(dy0 * z0.astype(jnp.float32), axis=(0, 1)))
-
-    z128 = jnp.zeros((128,), jnp.float32)
-    s0, s1 = jax.lax.fori_loop(0, ns, body, (z128, z128))
+        da0w = _convT_flat(dz1pad_ref[0], bands_t, rp0, rs, h, wg, dtype)
+        z0w = zprevpad_ref[0, pl.ds(rp0, rs), :, :]
+        y0 = _bn(z0w, coef0_ref[0], coef0_ref[1])
+        dy0 = jnp.where(y0 >= 0.0, da0w, 0.0)
+        dy0 = dy0 * _row_mask(rp0, rs, h, wg, jnp.float32)
+        dy0pad_ref[0, rp0:rp0 + rs, :, :] = dy0.astype(dy0pad_ref.dtype)
+        s0 = s0 + jnp.sum(dy0, axis=(0, 1))
+        s1 = s1 + jnp.sum(dy0 * z0w.astype(jnp.float32)
+                          * _row_mask(rp0, rs, h, wg, jnp.float32),
+                          axis=(0, 1))
+    _zero_borders(dy0pad_ref, h, wg)
     acc[0, :] += s0
     acc[1, :] += s1
 
