@@ -21,14 +21,22 @@ from .metric import Metric
 
 
 def dice_stats_from_labels(pred_labels: jnp.ndarray, target_labels: jnp.ndarray,
-                           num_classes: int, valid: jnp.ndarray = None):
+                           num_classes: int, valid: jnp.ndarray = None,
+                           pixel_mask: jnp.ndarray = None):
     """Device-side: [B, H, W] int labels -> ([B, C] intersection, [B, C] union).
 
     `valid` ([B] 1/0) zeroes padded slices so padded eval batches are exact.
+    `pixel_mask` ([B, H, W] 1/0) restricts stats to in-frame pixels: the
+    shortest-side val-resize path pads non-square frames into a static canvas
+    where pred == lab == 0, which would inflate CLASS-0 inter/union (classes
+    >= 1 are unaffected); masking makes every class's stats frame-exact.
     """
     classes = jnp.arange(num_classes)
     p = jnp.equal(pred_labels[..., None], classes).astype(jnp.float32)
     t = jnp.equal(target_labels[..., None], classes).astype(jnp.float32)
+    if pixel_mask is not None:
+        p = p * pixel_mask[..., None]
+        t = t * pixel_mask[..., None]
     inter = jnp.sum(p * t, axis=(1, 2))
     union = jnp.sum(p + t, axis=(1, 2))
     if valid is not None:

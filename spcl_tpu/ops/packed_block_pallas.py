@@ -618,6 +618,12 @@ def fused_packed_block(x, w0, g0, b0, w1, g1, b1, c_in, c_out, dtype_name,
     ([B, H+2, Wg_in+2, 128], C=c_in) and w0 is applied in-kernel.
     Returns (p, e, mean0, var0, mean1, var1): pooled output [B,H/2,Wg/2,128],
     pre-pool activation e [B,H,Wg,128], and the two BN batch stats [C].
+
+    VJP CONTRACT: the custom backward propagates cotangents ONLY through the
+    (p, e) outputs; cotangents on the four batch-stat outputs are silently
+    DROPPED (they are running-average buffers, stop_gradient'ed by
+    PallasConvStage — torch BN semantics). Do not differentiate through the
+    returned mean/var: the gradient would be silently zero, not an error.
     """
     out, _ = _fwd(x, w0, g0, b0, w1, g1, b1, c_in, c_out, dtype_name,
                   external_first)

@@ -15,13 +15,21 @@ import optax
 
 def build_optimizer(*, name: str = "RAdam", lr: Union[float, Callable] = 1e-7,
                     weight_decay: float = 0.0,
-                    grad_clip: Optional[float] = None) -> optax.GradientTransformation:
+                    grad_clip: Optional[float] = None,
+                    momentum: float = 0.9,
+                    nesterov: bool = False) -> optax.GradientTransformation:
     name = name.lower()
     scale_by = {
         "radam": optax.scale_by_radam,
         "adam": optax.scale_by_adam,
         "adamw": optax.scale_by_adam,
-        "sgd": lambda: optax.identity(),
+        # torch.optim.SGD semantics with dampening=0 (the deepclustering2 zoo's
+        # SGD, reference contrastyou/trainer/base.py:66 optimizer surface):
+        # buf = momentum*buf + g; update = g + momentum*buf if nesterov else
+        # buf — exactly optax.trace. Golden-tested against torch in
+        # tests/test_optim.py. momentum=0 degrades to plain GD like torch.
+        "sgd": lambda: (optax.trace(decay=momentum, nesterov=nesterov)
+                        if momentum else optax.identity()),
     }
     if name not in scale_by:
         raise KeyError(f"unknown optimizer {name!r}")

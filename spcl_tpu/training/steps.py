@@ -134,11 +134,11 @@ def build_eval_step(model, *, num_classes: int, crop: int,
         onehot = class2one_hot(lab, num_classes)
         loss = _masked_ce(logits, onehot, batch["valid"], pixel_mask=pix)
         pred = jnp.argmax(logits, axis=-1)
-        if pix is not None:
-            # outside-frame pixels exist only in our padding; force them to
-            # background so classes >= 1 match the reference's frame-only dice
-            pred = pred * pix.astype(pred.dtype)
-        inter, union = dice_stats_from_labels(pred, lab, num_classes, batch["valid"])
+        # outside-frame pixels exist only in our padding: restrict dice stats
+        # to frame pixels (every class, incl. background) so they match the
+        # reference's resize-only val geometry exactly
+        inter, union = dice_stats_from_labels(pred, lab, num_classes,
+                                              batch["valid"], pixel_mask=pix)
         return {"loss": loss, "inter": inter, "union": union}
 
     arrays = store.arrays if store is not None else None

@@ -217,6 +217,14 @@ class Trainer:
 
     def init(self) -> None:
         self._mesh = self._build_mesh()
+        if self._mesh is not None and getattr(self._model, "small_c_layout",
+                                              "nhwc") in ("pallas", "packed"):
+            # pallas_call has no GSPMD partitioning rule: under a mesh the
+            # stage kernels would be silently replicated (full-batch compute
+            # per chip) or fail to compile. The plain layouts partition.
+            raise ValueError(
+                f"UNet.small_c_layout={self._model.small_c_layout!r} is "
+                "incompatible with Trainer.mesh — use 'nhwc' or 'nchw'")
         optim_cfg = dict(self._config.get("Optim", {}))
         sched_cfg = self._config.get("Scheduler")
         base_lr = float(optim_cfg.get("lr", 1e-7))
@@ -230,7 +238,9 @@ class Trainer:
             self._lr_schedule.host = lambda step: base_lr
         self._optimizer = build_optimizer(
             name=optim_cfg.get("name", "RAdam"), lr=self._lr_schedule,
-            weight_decay=float(optim_cfg.get("weight_decay", 0.0)))
+            weight_decay=float(optim_cfg.get("weight_decay", 0.0)),
+            momentum=float(optim_cfg.get("momentum", 0.9)),
+            nesterov=bool(optim_cfg.get("nesterov", False)))
 
         # model + hook params
         key = self._keychain.next()

@@ -241,6 +241,9 @@ def test_shortest_side_eval_step_masks_dice():
     # dice pixel budget can't exceed the frame area (pad excluded):
     # union[c] = |pred==c| + |lab==c| summed over frame pixels only for c>=1
     assert union[0, 1:].sum() <= 2 * 44 * 32
+    # class 0 too (round-4 fix): every class's stats restrict to frame pixels,
+    # so the TOTAL union is exactly 2x the frame area
+    assert union[0].sum() == 2 * 44 * 32
 
 
 def test_cutout_erases_one_box():
