@@ -26,18 +26,12 @@ from ..data.augment import apply_flip
 from ..losses.supcon import self_paced_supcon_loss, supcon_loss
 from ..models.heads import DenseProjectionHead, ProjectionHead
 from ..models.unet import ENCODER_NAMES
-from ..ops import fused_self_paced_supcon, fused_supcon
+from ..ops import FUSED_MIN_ROWS, fused_self_paced_supcon, fused_supcon
 from ..schedulers.gamma import PScheduler
 
-
-# Measured crossover on the v5e DEVICE PLANE (scripts/measure_crossover2.py:
-# 50 chained loss+grad iterations per program so sub-ms sizes are resolvable;
-# round-3 table in RESULTS.md / benchmarks/crossover2_r3.json): the fused kernel
-# wins at EVERY measured size — 1.46x @2N=128, ~1.2x @256-2048, 2.36x @4096.
-# Round 2's 1024 was a guess from dispatch-bound per-call timing (noise).
-# 128 is the floor simply because smaller batches were not measured and the
-# loss cost there is negligible either way (<6us).
-_FUSED_MIN_ROWS = 128
+# Measured crossover: see ops/__init__.py::FUSED_MIN_ROWS (single source of
+# truth for every fused-dispatch site; round-3 table in RESULTS.md).
+_FUSED_MIN_ROWS = FUSED_MIN_ROWS
 
 
 def _use_fused(flag, n_views: int) -> bool:

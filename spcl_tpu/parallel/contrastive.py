@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..losses.supcon import self_paced_supcon_loss, supcon_loss
-from ..ops import fused_self_paced_supcon
+from ..ops import (FUSED_MIN_ROWS, fused_self_paced_supcon,
+                   sharded_fused_self_paced_supcon)
 
 
 def global_self_paced_supcon(z1_shard, z2_shard, target_shard, valid_shard, *,
@@ -51,7 +52,8 @@ def global_self_paced_supcon(z1_shard, z2_shard, target_shard, valid_shard, *,
     target = jax.lax.all_gather(target_shard, axis_name, tiled=True)
     valid = jax.lax.all_gather(valid_shard, axis_name, tiled=True)
     if use_fused is None:
-        use_fused = jax.default_backend() == "tpu" and z1.shape[0] * 2 >= 1024
+        use_fused = (jax.default_backend() == "tpu"
+                     and z1.shape[0] * 2 >= FUSED_MIN_ROWS)
     if use_fused:
         return fused_self_paced_supcon(
             z1, z2, gamma=gamma, target=target, valid=valid,
@@ -67,7 +69,8 @@ def sharded_self_paced_supcon(z1_shard, z2_shard, target_shard, valid_shard, *,
                               gamma, axis_name: str = "data",
                               temperature: float = 0.07,
                               weight_update: str = "soft",
-                              correct_grad: bool = False):
+                              correct_grad: bool = False,
+                              use_fused=None):
     """ROW-SHARDED global self-paced SupCon — the ring-attention-shaped form
     (SURVEY §5.7) that actually scales the O((2N)^2) matrix.
 
@@ -81,12 +84,28 @@ def sharded_self_paced_supcon(z1_shard, z2_shard, target_shard, valid_shard, *,
     detached global max-subtraction equals 1/T for L2-normalized inputs
     because every local row block contains its own diagonal.
 
+    use_fused (None = auto: TPU and global 2N >= FUSED_MIN_ROWS) dispatches
+    each shard's strip to the blockwise Pallas kernel
+    (ops.sharded_fused_self_paced_supcon) — the strip never materializes in
+    HBM either, composing the two halves of §5.7 end to end. The naive jnp
+    strip below is the oracle path (and the CPU-mesh path).
+
     Inputs are per-shard [n_local, D] / [n_local]; must run inside shard_map
     with `axis_name` bound. Returns (loss, downgrade_ratio), identical on
     every replica and equal to the single-device loss on the gathered batch
-    (tests/test_parallel.py). Backward: the all_gather transposes to a
-    reduce_scatter automatically.
+    (tests/test_parallel.py, tests/test_parallel_fused.py). Backward: the
+    all_gather transposes to a reduce_scatter automatically (naive path) /
+    folds the column term in via symmetry (fused path).
     """
+    if use_fused is None:
+        two_n_global = 2 * z1_shard.shape[0] * jax.lax.axis_size(axis_name)
+        use_fused = (jax.default_backend() == "tpu"
+                     and two_n_global >= FUSED_MIN_ROWS)
+    if use_fused:
+        return sharded_fused_self_paced_supcon(
+            z1_shard, z2_shard, target_shard, valid_shard, gamma=gamma,
+            axis_name=axis_name, temperature=temperature,
+            weight_update=weight_update, correct_grad=correct_grad)
     zg1 = jax.lax.all_gather(z1_shard, axis_name, tiled=True)   # [N, D]
     zg2 = jax.lax.all_gather(z2_shard, axis_name, tiled=True)
     tg = jax.lax.all_gather(target_shard, axis_name, tiled=True)
@@ -169,14 +188,14 @@ def make_global_supcon_fn(mesh: Mesh, *, axis_name: str = "data",
 
 def make_sharded_supcon_fn(mesh: Mesh, *, axis_name: str = "data",
                            temperature: float = 0.07, weight_update: str = "soft",
-                           correct_grad: bool = False):
+                           correct_grad: bool = False, use_fused=None):
     """Jitted row-sharded fn(z1, z2, target, valid, gamma) -> (loss, ratio):
     per-chip compute/memory O(2N * 2N / n_devices) (sharded_self_paced_supcon)."""
     def shard_fn(z1, z2, target, valid, gamma):
         return sharded_self_paced_supcon(
             z1, z2, target, valid, gamma=gamma, axis_name=axis_name,
             temperature=temperature, weight_update=weight_update,
-            correct_grad=correct_grad)
+            correct_grad=correct_grad, use_fused=use_fused)
 
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
