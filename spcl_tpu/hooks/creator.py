@@ -33,13 +33,15 @@ def feature_until_from_hooks(*hooks: TrainerHook, default: str = "Deconv_1x1") -
 def create_infonce_hooks(*, feature_names: Union[str, List[str]],
                          weights: Union[float, List[float]] = 1.0,
                          contrast_ons: Union[str, List[str], None] = None,
+                         global_contrast: str = "replicated",
                          **kwargs) -> CombineTrainerHook:
     n = 1 if isinstance(feature_names, str) else len(feature_names)
     brd = ntuple(n)
     feature_names = brd(feature_names)
     weights = brd(weights)
     contrast_ons = brd(contrast_ons)
-    hooks = [INFONCEHook(name=f"infonce/{f}/{c}", feature_name=f, weight=w, contrast_on=c)
+    hooks = [INFONCEHook(name=f"infonce/{f}/{c}", feature_name=f, weight=w,
+                         contrast_on=c, global_contrast=global_contrast)
              for f, w, c in zip(feature_names, weights, contrast_ons)]
     return CombineTrainerHook(*hooks)
 
@@ -51,6 +53,7 @@ def create_sp_infonce_hooks(*, feature_names: Union[str, List[str]],
                             end_values: Union[float, List[float]] = 1e10,
                             mode: str = "soft", p: float = 0.5, max_epoch: int = 80,
                             correct_grad: Union[bool, List[bool]] = False,
+                            global_contrast: str = "replicated",
                             **kwargs) -> CombineTrainerHook:
     n = 1 if isinstance(feature_names, str) else len(feature_names)
     brd = ntuple(n)
@@ -62,7 +65,8 @@ def create_sp_infonce_hooks(*, feature_names: Union[str, List[str]],
     correct_grad = brd(correct_grad)
     hooks = [SelfPacedINFONCEHook(name=f"spinfonce/{f}/{c}", feature_name=f, weight=w,
                                   contrast_on=c, begin_value=b, end_value=e, mode=mode,
-                                  p=p, max_epoch=max_epoch, correct_grad=g)
+                                  p=p, max_epoch=max_epoch, correct_grad=g,
+                                  global_contrast=global_contrast)
              for f, w, c, b, e, g in zip(feature_names, weights, contrast_ons,
                                          begin_values, end_values, correct_grad)]
     return CombineTrainerHook(*hooks)

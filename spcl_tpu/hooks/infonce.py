@@ -46,8 +46,19 @@ class INFONCEHook(TrainerHook):
     def __init__(self, *, name: str, feature_name: str, weight: float = 1.0,
                  contrast_on: str = "partition", spatial_size: Optional[Tuple[int, int]] = None,
                  temperature: float = 0.07, num_sampled_points: int = 5,
-                 use_fused="auto"):
+                 use_fused="auto", global_contrast: str = "replicated"):
         super().__init__(name, weight)
+        # global_contrast — how the contrastive matrix spans a Trainer.mesh:
+        #   "replicated":  GSPMD all-gathers z and every chip computes the
+        #                  full [2N, 2N] loss (exact; fine at small 2N).
+        #   "row_sharded": each chip computes only its [2n_local, 2N] row
+        #                  strip via parallel.contrastive (composed with the
+        #                  fused Pallas kernel on TPU) — per-chip loss
+        #                  compute/memory drop by the mesh size. The math is
+        #                  the same function (tests/test_parallel_fused.py);
+        #                  off-mesh it silently degrades to the plain path.
+        assert global_contrast in ("replicated", "row_sharded"), global_contrast
+        self.global_contrast = global_contrast
         self.use_fused = use_fused
         self.feature_name = feature_name
         self.contrast_on = contrast_on
@@ -78,7 +89,36 @@ class INFONCEHook(TrainerHook):
         z = self._projector.apply(params, jnp.concatenate([v1_tf, v2], axis=0))
         return z[:n], z[n:]
 
-    def _criterion(self, z1, z2, target, valid, scalars):
+    def _row_sharded(self, z1, z2, target, valid, mesh, *, gamma, mode,
+                     correct_grad: bool = False):
+        """Dispatch the criterion to the row-sharded global-batch form
+        (parallel.contrastive) under the Trainer's mesh: shard_map
+        repartitions the (logically global) z onto the `data` axis, each
+        shard computes its row strip, and replicated scalars come back."""
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.contrastive import sharded_self_paced_supcon
+
+        use_fused = None if self.use_fused == "auto" else bool(self.use_fused)
+
+        def shard_fn(a, b, t, v, g):
+            return sharded_self_paced_supcon(
+                a, b, t, v, gamma=g, axis_name="data",
+                temperature=self.temperature, weight_update=mode,
+                correct_grad=correct_grad, use_fused=use_fused)
+
+        fn = jax.shard_map(shard_fn, mesh=mesh,
+                           in_specs=(P("data"),) * 4 + (P(),),
+                           out_specs=(P(), P()), check_vma=False)
+        return fn(z1, z2, target, valid.astype(jnp.float32),
+                  jnp.asarray(gamma, jnp.float32))
+
+    def _criterion(self, z1, z2, target, valid, scalars, ctx):
+        mesh = ctx.get("mesh")
+        if self.global_contrast == "row_sharded" and mesh is not None:
+            # gamma=1e9 hard-mode weights are exactly 1: plain SupCon
+            loss, _ = self._row_sharded(z1, z2, target, valid, mesh,
+                                        gamma=1e9, mode="hard")
+            return loss, {"loss": loss}
         if _use_fused(self.use_fused, 2 * z1.shape[0]):
             loss = fused_supcon(z1, z2, target=target, valid=valid,
                                 temperature=self.temperature)
@@ -91,7 +131,7 @@ class INFONCEHook(TrainerHook):
         z1, z2 = self._projected_views(params, ctx)
         if self.is_encoder:
             target = label_from_contrast_on(ctx, self.contrast_on)
-            loss, metrics = self._criterion(z1, z2, target, ctx["valid"], scalars)
+            loss, metrics = self._criterion(z1, z2, target, ctx["valid"], scalars, ctx)
         else:
             loss, metrics = self._dense_loss(z1, z2, ctx, scalars)
         return loss * self.weight, metrics
@@ -116,7 +156,7 @@ class INFONCEHook(TrainerHook):
 
     def _dense_loss(self, z1, z2, ctx, scalars):
         s1, s2, target, valid = self._dense_points(z1, z2, ctx)
-        return self._criterion(s1, s2, target, valid, scalars)
+        return self._criterion(s1, s2, target, valid, scalars, ctx)
 
     # ---- batch-0 diagnostics (reference :185-193: sim/mask figure dumps) ----
     def _views_and_labels(self, params, ctx):
@@ -143,10 +183,11 @@ class SelfPacedINFONCEHook(INFONCEHook):
                  contrast_on: str = "partition", spatial_size=None, temperature: float = 0.07,
                  mode: str = "soft", p: float = 0.5, begin_value: float = 1e6,
                  end_value: float = 1e6, correct_grad: bool = False, max_epoch: int = 80,
-                 use_fused="auto"):
+                 use_fused="auto", global_contrast: str = "replicated"):
         super().__init__(name=name, feature_name=feature_name, weight=weight,
                          contrast_on=contrast_on, spatial_size=spatial_size,
-                         temperature=temperature, use_fused=use_fused)
+                         temperature=temperature, use_fused=use_fused,
+                         global_contrast=global_contrast)
         assert mode in ("soft", "hard"), mode
         self.mode = mode
         self.correct_grad = bool(correct_grad)
@@ -160,8 +201,14 @@ class SelfPacedINFONCEHook(INFONCEHook):
     def on_epoch_end(self) -> None:
         self.scheduler.step()
 
-    def _criterion(self, z1, z2, target, valid, scalars):
+    def _criterion(self, z1, z2, target, valid, scalars, ctx):
         gamma = scalars["gamma"]
+        mesh = ctx.get("mesh")
+        if self.global_contrast == "row_sharded" and mesh is not None:
+            loss, ratio = self._row_sharded(z1, z2, target, valid, mesh,
+                                            gamma=gamma, mode=self.mode,
+                                            correct_grad=self.correct_grad)
+            return loss, {"loss": loss, "sp_weight": ratio, "age_param": gamma}
         if _use_fused(self.use_fused, 2 * z1.shape[0]):
             loss, ratio = fused_self_paced_supcon(
                 z1, z2, target=target, valid=valid, gamma=gamma,

@@ -234,7 +234,7 @@ def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
                     num_classes: int, policy: AugmentPolicy, grad_mask=None,
                     flip_threshold: float = 0.8, two_stage: bool = False,
                     disable_bn: bool = False, ema_alpha: float = 0.999,
-                    store: Optional[DeviceStore] = None) -> Callable:
+                    store: Optional[DeviceStore] = None, mesh=None) -> Callable:
     """Semi-supervised step (reference SemiSupervisedEpocher._run_semi,
     new_epocher.py:145-238): sup CE on labeled view + sum of hook regularizers
     on the unlabeled pair; optional two-stage forward with frozen BN stats for
@@ -295,7 +295,7 @@ def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
             "unlabeled_image": img_u, "unlabeled_image_tf": img_u_tf,
             "partition": batch_u["partition"], "patient": batch_u["patient"],
             "cycle": batch_u["cycle"], "scan_idx": batch_u["scan_idx"],
-            "valid": batch_u["valid"], "key": k_hooks,
+            "valid": batch_u["valid"], "key": k_hooks, "mesh": mesh,
             "apply_student": apply_student, "num_classes": num_classes,
             "labeled_image": img_l, "labeled_onehot": onehot_l,
         }
@@ -375,10 +375,14 @@ def isinstance_name(obj) -> str:
 def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
                         policy: AugmentPolicy, total_freedom: bool, until: Optional[str],
                         grad_mask=None, flip_threshold: float = 0.8,
-                        store: Optional[DeviceStore] = None) -> Callable:
+                        store: Optional[DeviceStore] = None, mesh=None) -> Callable:
     """Contrastive pretrain step (reference _PretrainEpocherMixin,
     new_pretrain.py:19-126): two on-device views, view-2 additionally flipped
-    with replayable params, partial forward to `until`, loss = hook sum."""
+    with replayable params, partial forward to `until`, loss = hook sum.
+
+    `mesh` (the Trainer's device mesh, or None) reaches the hooks via ctx so
+    contrastive criteria can choose the row-sharded global-batch form
+    (hooks/infonce.py global_contrast="row_sharded")."""
     hooks = tuple(hooks)
 
     def loss_fn(params, batch_stats, batch, key, hook_scalars):
@@ -397,7 +401,7 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
             "unlabeled_tf_logits": None, "unlabeled_logits_tf": None,
             "partition": batch["partition"], "patient": batch["patient"],
             "cycle": batch["cycle"], "scan_idx": batch["scan_idx"],
-            "valid": batch["valid"], "key": k_hooks,
+            "valid": batch["valid"], "key": k_hooks, "mesh": mesh,
         }
         total = jnp.zeros((), jnp.float32)
         hook_metrics = {}

@@ -364,7 +364,7 @@ class Trainer:
             self._model, hooks, self._optimizer, num_classes=num_classes,
             policy=self.train_policy, grad_mask=self._grad_mask,
             two_stage=self._two_stage, disable_bn=self._disable_bn,
-            store=self._train_store()))
+            store=self._train_store(), mesh=self._mesh))
         self._eval_step = self._cached_step("eval", lambda: build_eval_step(
             self._model, num_classes=num_classes, crop=self._crop,
             store=self._eval_store(), val_policy=self.val_policy,
@@ -1019,7 +1019,8 @@ class _PretrainTrainer(Trainer):
         self._train_step = build_pretrain_step(
             self._model, self._hooks, self._optimizer, policy=self.train_policy,
             total_freedom=self.total_freedom, until=self._forward_until,
-            grad_mask=self._grad_mask, store=self._train_store())
+            grad_mask=self._grad_mask, store=self._train_store(),
+            mesh=self._mesh)
         # batch-0 sim/pos/sp-mask TensorBoard dumps (reference
         # semi_seg/hooks/infonce.py:185-193,263-266). Opt-in: the probe is one
         # extra XLA program, and compiles are minutes on this relay.
