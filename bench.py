@@ -26,6 +26,10 @@ Output: ONE json line with the fields
   device_slices_per_sec_f32   f32 parity-shape device slices/sec
   prod_2n128_ms_per_step      bf16 2N=128 device ms/step
   prod_2n128_slices_per_sec   bf16 2N=128 device slices/sec
+  finetune_ms_per_step        bf16 supervised finetune step (BASELINE cfg 2)
+  semi_ms_per_step            bf16 semi step, MT+consistency hooks (cfg 5)
+  semi_slices_per_sec         10 slices (5 lab + 5 unl) per semi step
+  eval_ms_per_step            bf16 12-slice per-scan eval step (cfg 1)
   dispatch_ack_slices_per_sec relay ack rate (NOT a device measurement)
   flops_per_step              analytic conv FLOPs of the parity-shape step
   tflops / mfu                achieved vs v5e bf16 peak (197 TFLOP/s)
@@ -133,6 +137,116 @@ def measure_ours(dtype_name="float32", batch_slices=None, time_windows=True):
     assert np.isfinite(float(jax.device_get(metrics["reg_loss"])))
     # a "slice" processed = one 2D slice through the pipeline (2 views each)
     return ack_rate, dev_ms
+
+
+def measure_step_matrix(dtype_name="bfloat16", *, crop=None, canvas=None,
+                        ch=None, warmup=None, reps=20):
+    """Device-plane ms/step for the OTHER baseline workloads (BASELINE.md
+    configs 1/2/5 — the pretrain configs 3/4 are the headline measurement):
+
+      finetune  supervised step, 5 labeled slices 224^2 (reference
+                FineTuneEpocher, semi_seg/epochers/new_epocher.py:241-289;
+                batch size config/base.yaml:24-32)
+      semi      semi-supervised step with MeanTeacher + Consistency hooks,
+                5 labeled + 5 unlabeled (reference SemiSupervisedEpocher,
+                new_epocher.py:100-238)
+      eval      per-scan eval step, 12 slices (reference EvalEpocher,
+                new_epocher.py:56-97)
+
+    Returns {flavor: device_ms_per_step}. A regression anywhere in the step
+    zoo is now visible to the driver's BENCH gate, not just the pretrain."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from spcl_tpu.data import synthetic_dataset
+    from spcl_tpu.data.device_store import DeviceStore
+    from spcl_tpu.data.augment import ACDC_LABEL, ACDC_VAL
+    from spcl_tpu.hooks import create_consistency_hook, create_mt_hook
+    from spcl_tpu.models import UNet
+    from spcl_tpu.training import build_optimizer, create_train_state
+    from spcl_tpu.training.steps import (build_eval_step, build_finetune_step,
+                                         build_semi_step)
+    from spcl_tpu.utils.profiling import profile_device_time
+
+    import dataclasses
+    crop = crop or CROP
+    canvas = canvas or CANVAS
+    ch = ch or CH
+    warmup = WARMUP if warmup is None else warmup
+    label_policy = dataclasses.replace(ACDC_LABEL, crop=crop)
+    val_policy = dataclasses.replace(ACDC_VAL, crop=crop)
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+    model = UNet(input_dim=1, num_classes=4, max_channel=ch, dtype=dtype)
+    optimizer = build_optimizer(name="RAdam", lr=2e-7, weight_decay=1e-5)
+    ds = synthetic_dataset("acdc", num_scans=8, slices_per_scan=(10, 14),
+                           canvas=canvas, seed=0)
+    store = DeviceStore.for_dataset(ds)
+    sample = jnp.zeros((2, crop, crop, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+
+    hooks = [create_mt_hook(weight=1.0), create_consistency_hook(weight=1.0)]
+    from spcl_tpu.hooks import get_individual_hooks
+    hooks = get_individual_hooks(*hooks)
+    acts_shapes = jax.eval_shape(
+        lambda v, x: model.apply(v, x, train=False), variables, sample)
+    sample_acts = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), acts_shapes)
+    hook_params = {}
+    for i, h in enumerate(hooks):
+        p = h.build(jax.random.PRNGKey(i + 3), model, sample_acts)
+        if p is not None:
+            hook_params[h.name] = p
+
+    def mk_state(teacher):
+        v = model.init(jax.random.PRNGKey(0), sample, train=False)
+        return create_train_state(
+            model_params=v["params"], batch_stats=v.get("batch_stats", {}),
+            hook_params={k: jax.tree_util.tree_map(jnp.copy, p)
+                         for k, p in hook_params.items()},
+            tx=optimizer, teacher=teacher, base_key=jax.random.PRNGKey(9))
+
+    def time_epoch_step(step, state, *args):
+        holder = {"state": state}
+
+        for _ in range(warmup):
+            holder["state"], _m = step.epoch_step(holder["state"], *args)
+        jax.block_until_ready(holder["state"])
+
+        def run_one():
+            holder["state"], _m = step.epoch_step(holder["state"], *args)
+            return holder["state"]
+
+        return profile_device_time(run_one, reps=reps)
+
+    import numpy as _np
+    rng = _np.random.RandomState(0)
+    mat5 = rng.randint(0, len(ds), size=(200, 5)).astype(_np.int32)
+    out = {}
+
+    # ---- finetune
+    ft = build_finetune_step(model, optimizer, num_classes=4, policy=label_policy,
+                             store=store)
+    scal = jax.device_put({})
+    dev5 = jax.device_put(mat5)
+    out["finetune"] = time_epoch_step(ft, mk_state(False), dev5, scal)
+
+    # ---- semi (MT + consistency)
+    semi = build_semi_step(model, hooks, optimizer, num_classes=4,
+                           policy=label_policy, store=store)
+    dev5b = jax.device_put(rng.randint(0, len(ds), size=(200, 5)).astype(_np.int32))
+    out["semi"] = time_epoch_step(semi, mk_state(True), dev5, dev5b, scal)
+
+    # ---- eval (12-slice scan batch)
+    ev = build_eval_step(model, num_classes=4, crop=crop, store=store,
+                         val_policy=val_policy, out_size=crop)
+    gidx = jax.device_put(rng.randint(0, len(ds), size=(12,)).astype(_np.int32))
+    params, stats = variables["params"], variables.get("batch_stats", {})
+
+    for _ in range(warmup):
+        r = ev(params, stats, gidx)
+    jax.block_until_ready(r)
+    out["eval"] = profile_device_time(lambda: ev(params, stats, gidx), reps=reps)
+    return out
 
 
 def analytic_flops_per_step(batch=BATCH) -> float:
@@ -243,6 +357,10 @@ def main():
     _, dev_ms_prod = measure_ours("bfloat16", batch_slices=64,
                                   time_windows=False)  # 2N=128 prod shape
     try:
+        matrix = measure_step_matrix("bfloat16")
+    except Exception:
+        matrix = {}
+    try:
         base = cached_baseline()
     except Exception:
         base = float("nan")
@@ -270,6 +388,13 @@ def main():
         out["prod_2n128_slices_per_sec"] = round(64 * 1000.0 / dev_ms_prod, 1)
     if ack_rate:
         out["dispatch_ack_slices_per_sec"] = round(ack_rate, 1)
+    # full baseline step matrix (BASELINE.md configs 1/2/5), device plane bf16
+    for flavor, ms in matrix.items():
+        if ms:
+            out[f"{flavor}_ms_per_step"] = round(ms, 3)
+    if matrix.get("semi"):
+        # 5 labeled + 5 unlabeled slices per semi step
+        out["semi_slices_per_sec"] = round(10 * 1000.0 / matrix["semi"], 1)
     # >=3x-V100 goal status, argued as a bound (no V100 exists here):
     # a V100 at its 15.7 TFLOP/s f32 peak needs flops/15.7e12 per step at
     # 100% utilization; typical conv-net utilization is 30-50%.

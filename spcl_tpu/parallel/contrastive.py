@@ -34,6 +34,13 @@ from ..losses.supcon import self_paced_supcon_loss, supcon_loss
 from ..ops import (FUSED_MIN_ROWS, fused_self_paced_supcon,
                    sharded_fused_self_paced_supcon)
 
+# Auto crossover for the ROW-SHARDED strip (see sharded_self_paced_supcon
+# docstring; measured in scripts/measure_strip_r4.py): the naive strip's ~5
+# materialized [2n_local, 2N] f32 temporaries are faster until they threaten
+# HBM; 2e8 elements ~ 4GB of temporaries on a 16GB v5e, leaving room for
+# model + activations. Above it, only the fused strip can run at all.
+_FUSED_MIN_STRIP_ELEMS = int(2e8)
+
 
 def global_self_paced_supcon(z1_shard, z2_shard, target_shard, valid_shard, *,
                              gamma, axis_name: str = "data",
@@ -84,11 +91,19 @@ def sharded_self_paced_supcon(z1_shard, z2_shard, target_shard, valid_shard, *,
     detached global max-subtraction equals 1/T for L2-normalized inputs
     because every local row block contains its own diagonal.
 
-    use_fused (None = auto: TPU and global 2N >= FUSED_MIN_ROWS) dispatches
-    each shard's strip to the blockwise Pallas kernel
+    use_fused dispatches each shard's strip to the blockwise Pallas kernel
     (ops.sharded_fused_self_paced_supcon) — the strip never materializes in
-    HBM either, composing the two halves of §5.7 end to end. The naive jnp
-    strip below is the oracle path (and the CPU-mesh path).
+    HBM either, composing the two halves of §5.7 end to end. None = auto,
+    MEASURED policy (scripts/measure_strip_r4.py, v5e device plane,
+    benchmarks/strip_r4.json): at strip sizes whose ~5 materialized
+    [2n_local, 2N] f32 temporaries fit HBM, the naive strip is ~1.3-1.4x
+    FASTER than the fused strip (the flash-style recompute — two forward
+    matmul passes + bwd — costs more than materialization saves; measured
+    0.97 vs 1.40 ms at rows 2048 x cols 16k, 4.20 vs 5.56 ms at 4096 x 32k),
+    so auto picks naive below _FUSED_MIN_STRIP_ELEMS and fused above, where
+    the naive strip would blow HBM (~2N >= 40k at mesh 8). This differs from
+    the REPLICATED path, where fused wins at every size from 2N=128 up
+    (3.52x at 2N=8k/16k — same measurement run).
 
     Inputs are per-shard [n_local, D] / [n_local]; must run inside shard_map
     with `axis_name` bound. Returns (loss, downgrade_ratio), identical on
@@ -99,8 +114,9 @@ def sharded_self_paced_supcon(z1_shard, z2_shard, target_shard, valid_shard, *,
     """
     if use_fused is None:
         two_n_global = 2 * z1_shard.shape[0] * jax.lax.axis_size(axis_name)
+        strip_elems = 2 * z1_shard.shape[0] * two_n_global
         use_fused = (jax.default_backend() == "tpu"
-                     and two_n_global >= FUSED_MIN_ROWS)
+                     and strip_elems >= _FUSED_MIN_STRIP_ELEMS)
     if use_fused:
         return sharded_fused_self_paced_supcon(
             z1_shard, z2_shard, target_shard, valid_shard, gamma=gamma,
