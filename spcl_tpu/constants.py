@@ -22,6 +22,33 @@ DATASET_SPECS = {
                    input_dim=1, has_cycle=False, partition_style="div"),
 }
 
+# Archive specs for the reference's distribution zips (constant table, must
+# match the reference for drop-in ingestion parity: acdc.py:9-11,
+# prostate.py:9-28, mmwhs.py:9-27, spleen.py:9-11). `folder_name` is the
+# directory the archive extracts to; the reference ships no md5 pins
+# (downloading() passes md5=None, _ioutils.py:192) — `md5` stays None here
+# and callers may pin their own.
+DOWNLOAD_SPECS = {
+    "acdc": dict(
+        download_link="https://drive.google.com/uc?id=147xICU__T23aOYkdjGSA5Hh8W1SK-y9p",
+        zip_name="ACDC-all.zip", folder_name="ACDC-all", md5=None),
+    "prostate": dict(
+        download_link="https://drive.google.com/uc?id=1hZISuvq2OGk6MZDhZ-p5ebV0q0IXAlaf",
+        zip_name="PROSTATE.zip", folder_name="PROSTATE", md5=None),
+    "prostate_md": dict(
+        download_link="https://drive.google.com/uc?id=1MngFjFmbO8lBHC0G6sbW7_kjjijQqSsu",
+        zip_name="PROSTATE_md.zip", folder_name="PROSTATE_md", md5=None),
+    "mmwhsct": dict(
+        download_link="https://drive.google.com/uc?id=1oDKm6W6wQJRFCuiavDo3hzl7Prx2t0c0",
+        zip_name="MMWHS.zip", folder_name="MMWHS", md5=None),
+    "mmwhsmr": dict(
+        download_link="https://drive.google.com/uc?id=1oDKm6W6wQJRFCuiavDo3hzl7Prx2t0c0",
+        zip_name="MMWHS.zip", folder_name="MMWHS", md5=None),
+    "spleen": dict(
+        download_link="https://drive.google.com/uc?id=1VG14fqf6EltsR7HUs5dFvN0X7ru0w_wH",
+        zip_name="Spleen.zip", folder_name="Spleen", md5=None),
+}
+
 ratio_zoo = {
     "acdc": [1, 2, 4, 174],
     "prostate": [3, 5, 7, 40],

@@ -11,9 +11,10 @@ structure (random blobs + label maps) so every epocher/trainer test and the
 bench run without the real (gdrive-hosted) data — a capability the reference
 lacks (SURVEY.md §4: its integration tests demand downloaded data + CUDA).
 
-Auto-download (reference `_ioutils.py` via gdown) is stubbed: this
-environment has zero egress; `pack_png_folder` raises a clear error if the
-source directory is missing.
+Archive ingestion (fetch/verify/extract, reference `_ioutils.py`) lives in
+`ioutils.py` — `prepare_dataset` materializes the dataset folder that
+`pack_png_folder` consumes; the network fetch is injectable so zero-egress
+hosts work from a local archive.
 """
 from __future__ import annotations
 
@@ -61,9 +62,10 @@ def pack_png_folder(root_dir: str, name: str, mode: str = "train",
     for d in img_dirs:
         if not d.exists():
             raise FileNotFoundError(
-                f"{d} not found. This environment cannot auto-download the "
-                f"reference datasets (zero egress); place the unpacked "
-                f"{name} data under {root_dir} or use synthetic_dataset().")
+                f"{d} not found. Materialize the dataset first "
+                f"(ioutils.prepare_dataset({name!r}, ...) on a networked "
+                f"host, or extract a local archive there), or use "
+                f"synthetic_dataset().")
     stems = sorted(p.stem for p in img_dirs[0].glob("*.png"))
     mods, sizes = [], None
     for d in img_dirs:
