@@ -5,7 +5,7 @@ Round-3 device profiling: the two small-C encoder stages cost 12.9 of the
 the 128-wide lanes (2N=60 -> 2.13x padded HBM traffic on every stage
 tensor); a logical-NCHW rewrite measures identical and a pure-jnp
 lane-packed rewrite loses to layout copies (benchmarks/step_ops_r3.json). These
-kernels run the validated lane-packed formulation (models/packed_stage.py:
+kernels run the validated lane-packed formulation (experimental/packed_stage.py:
 activations [B, H, Wg, 128] = G=128/C columns x C channels per lane group;
 3x3 convs as nine dense banded 128x128 matmuls) INSIDE Pallas where the
 memory plan is explicit: one read + one write per plane, full lanes, no
@@ -26,7 +26,7 @@ normalizing, so the stage splits at each BN:
 
 Weight gradients come out as banded-matrix cotangents; the chain back to
 the ordinary [3,3,Ci,Co] kernels is jax.vjp of the band construction
-(models/packed_stage._band_matrices) — no hand-derived index math.
+(experimental/packed_stage._band_matrices) — no hand-derived index math.
 Equivalence-tested against the jnp packed/NHWC paths; interpret mode on CPU.
 """
 from __future__ import annotations
@@ -40,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.packed_stage import _band_matrices
+from .packed_stage import _band_matrices
 
 
 def _interpret() -> bool:

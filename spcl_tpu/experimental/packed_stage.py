@@ -270,7 +270,7 @@ class _Kernel(nn.Module):
 
 class PallasConvStage(nn.Module):
     """Train-mode ConvBlock+BN stage executed by the fused Pallas kernels
-    (ops/packed_block_pallas.fused_packed_block). Same param tree as
+    (experimental/packed_block_pallas.fused_packed_block). Same param tree as
     ConvBlock. Returns the PRE-POOL packed activation e [B, H, Wg, 128];
     pool via packed_pool. `first_conv_nhwc`: stage-1's C=1 input conv runs
     as a plain nn.Conv and its packed output feeds the kernels."""
@@ -282,7 +282,7 @@ class PallasConvStage(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.packed_block_pallas import fused_packed_block
+        from .packed_block_pallas import fused_packed_block
         bn0 = _BNVars(self.out_ch, self.momentum, name="bn0")
         bn1 = _BNVars(self.out_ch, self.momentum, name="bn1")
         g0, b0 = bn0()

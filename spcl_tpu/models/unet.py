@@ -175,7 +175,7 @@ class UNet(nn.Module):
             # cost more than select-and-scatter does. Keep XLA's form.
             return nn.max_pool(v, (2, 2), strides=(2, 2))
 
-        from .packed_stage import packable as _packable
+        from ..experimental.packed_stage import packable as _packable
         shapes_ok = (x.shape[1] % 4 == 0
                      and _packable(x.shape[2], self.channel_dim("Conv1"),
                                    self.channel_dim("Conv2")))
@@ -184,7 +184,7 @@ class UNet(nn.Module):
         # stats, tiny fraction of a run) takes the plain path below
         use_pallas = self.small_c_layout == "pallas" and shapes_ok and train
         if use_pallas:
-            from .packed_stage import PallasConvStage, packed_pool, unpack
+            from ..experimental.packed_stage import PallasConvStage, packed_pool, unpack
             c1, c2 = self.channel_dim("Conv1"), self.channel_dim("Conv2")
             p1, e1p = PallasConvStage(self.input_dim, c1, momentum=self.momentum,
                                       dtype=self.dtype, first_conv_nhwc=True,
@@ -201,13 +201,13 @@ class UNet(nn.Module):
                 return acts
             p2 = unpack(p2p, c2)
         elif use_packed:
-            # lane-packed stages 1-2 (models/packed_stage.py): activations as
+            # lane-packed stages 1-2 (experimental/packed_stage.py): activations as
             # [B, H, W*C/128, 128] — full 128-lane tiles whatever layout XLA
             # assigns — with the 3x3 convs as dense banded 128x128 matmuls.
             # `acts` keeps NHWC views (reshapes; DCE'd when unconsumed).
             # NOTE: cross-replica BN axis_name is not needed here — under
             # GSPMD jit the BN sums are already global reductions.
-            from .packed_stage import PackedConvStage, packed_pool, unpack
+            from ..experimental.packed_stage import PackedConvStage, packed_pool, unpack
             c1, c2 = self.channel_dim("Conv1"), self.channel_dim("Conv2")
             e1p = PackedConvStage(self.input_dim, c1, momentum=self.momentum,
                                   dtype=self.dtype, first_conv_nhwc=True,

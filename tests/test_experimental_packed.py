@@ -1,4 +1,4 @@
-"""Fused lane-packed stage kernels vs a jnp oracle (ops/packed_block_pallas).
+"""Fused lane-packed stage kernels vs a jnp oracle (experimental/packed_block_pallas).
 
 The oracle composes the already-validated packed primitives
 (models/packed_stage.packed_conv/_pool semantics with inline batch-stat BN)
@@ -11,8 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from spcl_tpu.models.packed_stage import pack, packed_conv, unpack
-from spcl_tpu.ops.packed_block_pallas import fused_packed_block
+from spcl_tpu.experimental.packed_stage import pack, packed_conv, unpack
+from spcl_tpu.experimental.packed_block_pallas import fused_packed_block
 
 pytestmark = pytest.mark.slow  # step-compile/integration heavy (see pyproject)
 

@@ -175,7 +175,7 @@ def test_nchw_small_c_layout_matches_nhwc():
 
 def test_packed_small_c_layout_matches_nhwc():
     """small_c_layout="packed" (stages 1-2 on [B,H,W*C/128,128] lane-packed
-    activations with banded-matmul convs — models/packed_stage.py) must be a
+    activations with banded-matmul convs — experimental/packed_stage.py) must be a
     drop-in: same param tree, EXACT eval-mode forward, train-mode
     forward/stats equal to reorder noise (train BN chains amplify float
     accumulation-order differences; eval mode is the exactness check)."""
@@ -225,12 +225,12 @@ def test_packed_until_and_partial_shapes():
 
 def test_pallas_small_c_layout_matches_nhwc():
     """small_c_layout="pallas" (fused lane-packed stage kernels,
-    ops/packed_block_pallas; interpret mode on CPU): same param tree, exact
+    experimental/packed_block_pallas; interpret mode on CPU): same param tree, exact
     eval fallback, train forward/stats to reorder noise, and region-local
     gradients to ~1e-4 relative (full-depth grad comparisons are meaningless
     here: a 1e-5 input perturbation alone shifts deep-layer train-BN grads
     of this net by ~10% — measured; the kernels' own backward is verified
-    against an autodiff oracle in test_packed_block_pallas.py)."""
+    against an autodiff oracle in test_experimental_packed.py)."""
     import jax.tree_util as jtu
     x = jnp.asarray(np.random.RandomState(5).rand(2, 64, 64, 1).astype(np.float32))
     m1 = UNet(input_dim=1, num_classes=4, max_channel=128)
