@@ -22,7 +22,7 @@ import jax.numpy as jnp  # noqa: E402
 SCANS, PARTS, CROP, CANVAS, CH = 10, 3, 224, 256, 256
 
 
-def build(dtype, layout="nhwc"):
+def build(dtype, layout="nhwc", batch_slices=None):
     from spcl_tpu.data import synthetic_dataset, create_contrastive_loader
     from spcl_tpu.data.device_store import DeviceStore
     from spcl_tpu.data.augment import ACDC_PRETRAIN
@@ -55,8 +55,12 @@ def build(dtype, layout="nhwc"):
     step = build_pretrain_step(model, [hook], optimizer, policy=ACDC_PRETRAIN,
                                total_freedom=True, until="Conv5", grad_mask=mask,
                                store=store)
-    loader = create_contrastive_loader(ds, scan_sample_num=SCANS, seed=0)
-    it = iter(loader.sampler)
+    if batch_slices is None:
+        loader = create_contrastive_loader(ds, scan_sample_num=SCANS, seed=0)
+        it = iter(loader.sampler)
+    else:  # production shape (2N = 2*batch_slices), plain infinite sampler
+        from spcl_tpu.data.samplers import InfiniteRandomSampler
+        it = iter(InfiniteRandomSampler(ds, batch_size=batch_slices, seed=0))
     mat = np.stack([np.asarray(ds.to_global(next(it)), np.int32) for _ in range(50)])
     dev_mat, dev_scal = jax.device_put((mat, {hook.name: hook.epoch_scalars(0)}))
     return step, state, dev_mat, dev_scal
@@ -68,14 +72,17 @@ def main():
     from spcl_tpu.utils.profiling import device_ms_per_step, device_op_breakdown
 
     assert jax.default_backend() == "tpu", jax.default_backend()
-    # args: dtype[:layout] e.g. "bfloat16:nchw float32"
+    # args: dtype[:layout][@batch] e.g. "bfloat16:nchw float32 bfloat16@64"
+    # (@64 = production shape: plain 64-slice sampler -> 2N=128)
     specs = sys.argv[1:] or ["float32", "bfloat16"]
     results = {}
     for spec in specs:
-        name, _, layout = spec.partition(":")
+        head, _, batch = spec.partition("@")
+        name, _, layout = head.partition(":")
         layout = layout or "nhwc"
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
-        step, state, dev_mat, dev_scal = build(dtype, layout)
+        step, state, dev_mat, dev_scal = build(dtype, layout,
+                                               batch_slices=int(batch) if batch else None)
         name = spec
         for _ in range(5):  # compile + settle
             state, _ = step.epoch_step(state, dev_mat, dev_scal)
