@@ -169,11 +169,16 @@ class UNet(nn.Module):
         acts: Dict[str, jnp.ndarray] = {}
 
         def pool(v):
-            # nn.max_pool (reduce_window + select-and-scatter bwd) measured
-            # FASTER than a reshape-based pool with custom first-index VJP
-            # (23.4 vs 27.6 ms/step): the reshape/transpose materializations
-            # cost more than select-and-scatter does. Keep XLA's form.
-            return nn.max_pool(v, (2, 2), strides=(2, 2))
+            # reduce_window forward + equality-mask backward
+            # (ops/maxpool.py). XLA's own maxpool backward is
+            # select-and-scatter — 9.9/4.5 ms (f32/bf16) of the round-3
+            # pretrain step (benchmarks/step_ops_r3.json). A reshape-based
+            # FORWARD with first-index VJP was measured slower than S&S
+            # (27.6 vs 23.4 ms/step, round 2 — transpose materializations);
+            # keeping XLA's forward and swapping only the backward avoids
+            # both costs (round-4 measurement in RESULTS.md).
+            from ..ops import max_pool_2x2
+            return max_pool_2x2(v)
 
         from ..experimental.packed_stage import packable as _packable
         shapes_ok = (x.shape[1] % 4 == 0
@@ -234,18 +239,15 @@ class UNet(nn.Module):
             acts["Conv1"] = e1
             if until == "Conv1":
                 return acts
-            p1 = jax.lax.reduce_window(e1c, -jnp.inf, jax.lax.max,
-                                       (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+            from ..ops import max_pool_2x2
+            p1 = max_pool_2x2(e1c, "NCHW")
             e2c = ConvBlock(self.channel_dim("Conv2"), name="Conv2",
                             data_format="NCHW", **kw)(p1, train=train)
             e2 = jnp.transpose(e2c, (0, 2, 3, 1))
             acts["Conv2"] = e2
             if until == "Conv2":
                 return acts
-            p2 = jnp.transpose(
-                jax.lax.reduce_window(e2c, -jnp.inf, jax.lax.max,
-                                      (1, 1, 2, 2), (1, 1, 2, 2), "VALID"),
-                (0, 2, 3, 1))
+            p2 = jnp.transpose(max_pool_2x2(e2c, "NCHW"), (0, 2, 3, 1))
         else:
             e1 = ConvBlock(self.channel_dim("Conv1"), name="Conv1", **kw)(x, train=train)
             acts["Conv1"] = e1

@@ -458,9 +458,10 @@ class Trainer:
             return
         last[0] = now
         rate = (b + 1) / max(now - t0, 1e-9)
-        logger.info("epoch %03d | batch %d/%d | %.1f it/s (~%.0f slices/s dispatch)",
+        eta = (self._num_batches - b - 1) / max(rate, 1e-9)
+        logger.info("epoch %03d | batch %d/%d | %.1f it/s (~%.0f slices/s dispatch) | ETA %02d:%02d",
                     self._cur_epoch, b + 1, self._num_batches, rate,
-                    rate * slices_per_batch)
+                    rate * slices_per_batch, int(eta) // 60, int(eta) % 60)
 
     def _index_matrix(self, loader) -> np.ndarray:
         ds = loader.dataset
