@@ -16,6 +16,12 @@ documentation of refuted hypotheses (RESULTS.md, round-3 section):
   at 2N=128 the lane padding that motivated these kernels vanishes
   (config/specific/production_pretrain.yaml, ~2x per-slice throughput).
 
+- ``maxpool``: equality-mask custom-VJP and pairwise-strided maxpool
+  backwards (18.27 / 28.10 ms bf16 step vs 17.28 with XLA's native
+  select-and-scatter, round-4 device plane). Eliminating select-and-scatter
+  restructures the BN/ReLU backward fusions at a net loss; the default
+  ``nn.max_pool`` stays (models/unet.py pool comment).
+
 Reachable via ``UNet.small_c_layout="packed"|"pallas"`` (guarded off the
 mesh path, training/trainer.py) purely for measurement reproduction.
 """

@@ -169,16 +169,14 @@ class UNet(nn.Module):
         acts: Dict[str, jnp.ndarray] = {}
 
         def pool(v):
-            # reduce_window forward + equality-mask backward
-            # (ops/maxpool.py). XLA's own maxpool backward is
-            # select-and-scatter — 9.9/4.5 ms (f32/bf16) of the round-3
-            # pretrain step (benchmarks/step_ops_r3.json). A reshape-based
-            # FORWARD with first-index VJP was measured slower than S&S
-            # (27.6 vs 23.4 ms/step, round 2 — transpose materializations);
-            # keeping XLA's forward and swapping only the backward avoids
-            # both costs (round-4 measurement in RESULTS.md).
-            from ..ops import max_pool_2x2
-            return max_pool_2x2(v)
+            # nn.max_pool (reduce_window + select-and-scatter bwd) is the
+            # MEASURED winner. Three replacement attempts lost on the device
+            # plane: reshape-pool w/ first-index VJP 27.6 vs 23.4 f32 (round
+            # 2); equality-mask custom VJP 18.27 vs 17.28 bf16 and pairwise
+            # strided-quadrant max 28.1 (round 4 — breaking the
+            # select-and-scatter boundary restructures the BN/ReLU backward
+            # fusions at a net loss; see experimental/maxpool.py).
+            return nn.max_pool(v, (2, 2), strides=(2, 2))
 
         from ..experimental.packed_stage import packable as _packable
         shapes_ok = (x.shape[1] % 4 == 0
@@ -239,15 +237,18 @@ class UNet(nn.Module):
             acts["Conv1"] = e1
             if until == "Conv1":
                 return acts
-            from ..ops import max_pool_2x2
-            p1 = max_pool_2x2(e1c, "NCHW")
+            p1 = jax.lax.reduce_window(e1c, -jnp.inf, jax.lax.max,
+                                       (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
             e2c = ConvBlock(self.channel_dim("Conv2"), name="Conv2",
                             data_format="NCHW", **kw)(p1, train=train)
             e2 = jnp.transpose(e2c, (0, 2, 3, 1))
             acts["Conv2"] = e2
             if until == "Conv2":
                 return acts
-            p2 = jnp.transpose(max_pool_2x2(e2c, "NCHW"), (0, 2, 3, 1))
+            p2 = jnp.transpose(
+                jax.lax.reduce_window(e2c, -jnp.inf, jax.lax.max,
+                                      (1, 1, 2, 2), (1, 1, 2, 2), "VALID"),
+                (0, 2, 3, 1))
         else:
             e1 = ConvBlock(self.channel_dim("Conv1"), name="Conv1", **kw)(x, train=train)
             acts["Conv1"] = e1

@@ -1,4 +1,3 @@
-from .maxpool import max_pool_2x2
 from .supcon_pallas import (fused_self_paced_supcon, fused_supcon,
                             sharded_fused_self_paced_supcon)
 
@@ -14,5 +13,4 @@ from .supcon_pallas import (fused_self_paced_supcon, fused_supcon,
 FUSED_MIN_ROWS = 128
 
 __all__ = ["fused_self_paced_supcon", "fused_supcon",
-           "sharded_fused_self_paced_supcon", "FUSED_MIN_ROWS",
-           "max_pool_2x2"]
+           "sharded_fused_self_paced_supcon", "FUSED_MIN_ROWS"]

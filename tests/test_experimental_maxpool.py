@@ -1,10 +1,13 @@
-"""ops/maxpool.py — equality-mask 2x2 maxpool vs XLA's select-and-scatter.
+"""experimental/maxpool.py — the measured-negative maxpool-backward variants.
 
-Pins (a) forward equality with flax nn.max_pool, (b) gradient equality with
-XLA's autodiff on tie-free inputs, (c) the documented tie deviation, and
-(d) the load-bearing claim: through a ReLU->pool composition (the only way
-the UNet uses it) the end-to-end gradient matches XLA exactly even with
-ties, because ties sit at ReLU-clamped zeros.
+The equality-mask VJP (and the pairwise form) lost to XLA's native
+select-and-scatter on the device plane (see experimental/maxpool.py
+docstring for the round-4 table); these tests keep the quarantined
+implementations correct for reproduction: (a) forward equality with flax
+nn.max_pool, (b) gradient equality with XLA's autodiff on tie-free inputs,
+(c) the documented tie deviation, and (d) the ReLU->pool composition where
+end-to-end gradients match XLA exactly despite ties (they sit at
+ReLU-clamped zeros).
 """
 import flax.linen as nn
 import jax
@@ -12,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from spcl_tpu.ops import max_pool_2x2
+from spcl_tpu.experimental.maxpool import (max_pool_2x2,
+                                           max_pool_2x2_pairwise)
 
 
 def _xla_pool(x):
@@ -97,3 +101,12 @@ def test_jit_and_vmap_compose():
     out = jax.jit(jax.vmap(lambda v: max_pool_2x2(v)))(x)
     ref = jax.vmap(_xla_pool)(x)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pairwise_variant_matches():
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 10, 3))
+    np.testing.assert_array_equal(np.asarray(max_pool_2x2_pairwise(x)),
+                                  np.asarray(_xla_pool(x)))
+    g1 = jax.grad(lambda v: jnp.sum(max_pool_2x2_pairwise(v) ** 2))(x)
+    g2 = jax.grad(lambda v: jnp.sum(_xla_pool(v) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
