@@ -108,7 +108,7 @@ class ConvBlock(nn.Module):
                 x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=False,
                             dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.BatchNorm(use_running_average=not train,
-                             momentum=1.0 - self.momentum, dtype=jnp.float32,
+                             momentum=1.0 - self.momentum, dtype=self.dtype,
                              axis_name=self.axis_name if train else None,
                              use_fast_variance=True,  # one-pass stats (E[x^2]-mean^2): same math as torch BN, ~2x cheaper reductions
                              axis=1 if nchw else -1,
@@ -131,7 +131,7 @@ class UpConv(nn.Module):
         x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=1.0 - self.momentum,
-                         dtype=jnp.float32, use_fast_variance=True,  # one-pass stats (E[x^2]-mean^2): same math as torch BN, ~2x cheaper reductions
+                         dtype=self.dtype, use_fast_variance=True,  # one-pass stats (E[x^2]-mean^2): same math as torch BN, ~2x cheaper reductions
                          axis_name=self.axis_name if train else None, name="bn")(x)
         return nn.relu(x)
 
@@ -142,7 +142,12 @@ class UNet(nn.Module):
     num_classes: int = 4
     max_channel: int = 256
     momentum: float = 0.1
-    dtype: jnp.dtype = jnp.float32  # compute dtype; params & BN stay f32
+    # Compute dtype. Params and BN running buffers stay f32, and BN
+    # STATISTICS are still reduced in f32 (flax upcasts for _compute_stats);
+    # under bf16 the normalize/affine apply runs in bf16 so activations stay
+    # bf16 end to end instead of bouncing bf16->f32->bf16 at every BN —
+    # measured 17.28 -> 13.45 ms/step bf16 (round 4, device plane).
+    dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None  # mesh axis for cross-replica BN stats
     # "nchw": encoder stages 1-2 (C = max_channel/16, /8 < 128) run
     # channels-second so W (not the lane-padded batch) is the minor dim —
