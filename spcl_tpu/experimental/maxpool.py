@@ -24,6 +24,11 @@ each materialize. Conclusion: keep XLA's native maxpool autodiff
 BN-backward fusion boundary, which no elementwise re-derivation of the
 argmax can do from outside the fusion.
 
+Re-tested after the round-4 bf16-BatchNorm change (where select-and-scatter
+attributes 6.7 of 13.45 ms): equality-mask 13.465 vs native 13.448 at 2N=60
+and 14.93 vs 15.03 at 2N=128 — a wash; the attributed select-and-scatter
+time overlaps with other work, so there is no real win to harvest here.
+
 Correctness of both variants is pinned by tests/test_experimental_maxpool.py
 (forward/backward equivalence with XLA's form; documented tie semantics —
 ties sit at ReLU-clamped zeros, so end-to-end gradients match bit-for-bit).
