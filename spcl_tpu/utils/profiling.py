@@ -15,17 +15,22 @@ import glob
 from typing import Optional
 
 
-def device_ms_per_step(trace_dir: str) -> Optional[float]:
+def device_ms_per_step(trace_dir: str, calls: Optional[int] = None) -> Optional[float]:
     """Mean device time per step from a jax.profiler trace directory.
 
     Reads the TPU device plane's "Steps" line (one event per executed
-    program). Returns None when no device plane / parser is available
-    (e.g. CPU traces, or tensorflow's xplane protos not installed)."""
+    program). Some programs (e.g. the eval step: forward-only, no optimizer
+    update) never get step markers — their traces carry only an
+    "XLA Modules" line; when `calls` (the known number of traced calls) is
+    given, falls back to total module device time / calls. Returns None when
+    no device plane / parser is available (e.g. CPU traces, or tensorflow's
+    xplane protos not installed)."""
     try:
         from tensorflow.tsl.profiler.protobuf import xplane_pb2
     except Exception:
         return None
     total, count = 0.0, 0
+    module_total = 0.0
     for p in glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True):
         xs = xplane_pb2.XSpace()
         try:
@@ -39,9 +44,13 @@ def device_ms_per_step(trace_dir: str) -> Optional[float]:
                 if line.name == "Steps" and line.events:
                     total += sum(e.duration_ps for e in line.events) / 1e12
                     count += len(line.events)
-    if count == 0:
-        return None
-    return total / count * 1e3
+                elif line.name == "XLA Modules" and line.events:
+                    module_total += sum(e.duration_ps for e in line.events) / 1e12
+    if count:
+        return total / count * 1e3
+    if calls and module_total:
+        return module_total / calls * 1e3
+    return None
 
 
 def device_op_breakdown(trace_dir: str, top: int = 0) -> Optional[dict]:
@@ -92,7 +101,7 @@ def profile_device_time(run_one, reps: int = 20) -> Optional[float]:
             for _ in range(reps):
                 out = run_one()
             jax.block_until_ready(out)
-        return device_ms_per_step(d)
+        return device_ms_per_step(d, calls=reps)
     except Exception:
         return None
     finally:
