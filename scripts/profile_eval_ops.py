@@ -5,7 +5,10 @@
 Round-4 follow-up: the eval program carries no step markers, so the
 XLA-Modules fallback (utils/profiling.py) makes it measurable at all; this
 script attributes where its device time goes. Run SOLO on the real TPU:
-    python scripts/profile_eval_ops.py [bfloat16|float32]
+    python scripts/profile_eval_ops.py [bfloat16|float32] [batch]
+
+`batch` > 12 measures the packed-eval geometry (Trainer.packed_eval=batch):
+fixed-size programs across scan boundaries.
 """
 import json
 import shutil
@@ -22,7 +25,8 @@ import jax.numpy as jnp  # noqa: E402
 CROP, CANVAS, CH = 224, 256, 256
 
 
-def main(dtype_name="bfloat16", reps=20):
+def main(dtype_name="bfloat16", batch=12, reps=20):
+    batch = int(batch)
     import dataclasses
     from spcl_tpu.data import synthetic_dataset
     from spcl_tpu.data.device_store import DeviceStore
@@ -44,7 +48,7 @@ def main(dtype_name="bfloat16", reps=20):
     ev = build_eval_step(model, num_classes=4, crop=CROP, store=store,
                          val_policy=val_policy, out_size=CROP)
     rng = np.random.RandomState(0)
-    gidx = jax.device_put(rng.randint(0, len(ds), size=(12,)).astype(np.int32))
+    gidx = jax.device_put(rng.randint(0, len(ds), size=(batch,)).astype(np.int32))
 
     for _ in range(3):
         r = ev(params, stats, gidx)
@@ -60,10 +64,11 @@ def main(dtype_name="bfloat16", reps=20):
         ops = device_op_breakdown(d) or {}
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    print(f"== {dtype_name}: {ms} ms/step (device plane)")
-    out = {"ms_per_step": ms,
+    print(f"== {dtype_name}@{batch}: {ms} ms/step (device plane) | "
+          f"{batch * 1000.0 / ms if ms else float('nan'):.0f} slices/s")
+    out = {"ms_per_step": ms, "batch": batch,
            "ops": {k: v / reps for k, v in ops.items()}}
-    Path(f"tmp/eval_ops_{dtype_name}.json").write_text(json.dumps(out))
+    Path(f"tmp/eval_ops_{dtype_name}_{batch}.json").write_text(json.dumps(out))
     for k, v in list(ops.items())[:15]:
         print(f"{v / reps:9.4f} ms  {k[:160]}")
 

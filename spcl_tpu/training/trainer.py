@@ -591,6 +591,36 @@ class Trainer:
 
         return device_prefetch(batches(), depth=3, device=sharding)
 
+    def _packed_eval_batches(self, loader: HostLoader, packed: int):
+        """Fixed-size eval batches ACROSS scan boundaries (Trainer.packed_eval):
+        concatenate every scan's slices in scan order, chop into chunks of
+        `packed` global indices (-1 right-padding), and carry per-slice scan
+        names for the host-side per-scan dice grouping. One scan per program
+        (the reference's ScanBatchSampler geometry) leaves the 224^2 decoder
+        stages lane-starved at B~12 AND dispatches n_scans programs per eval;
+        packing runs ceil(total/packed) programs at a lane-friendlier batch.
+        The per-scan 3D dice is IDENTICAL because grouping is by scan name,
+        not by batch (SURVEY §7: per-scan dice via scan-id grouping with
+        padding); only the logged eval `loss` weighting shifts from per-scan
+        means to per-chunk means. device_data path only."""
+        ds = loader.dataset
+        scan2idx = ds.scan_to_indices()
+        flats, names = [], []
+        for s in sorted(scan2idx):
+            idx = np.asarray(ds.to_global(scan2idx[s]), np.int32)
+            flats.append(idx)
+            names.extend([s] * len(idx))
+        flat = np.concatenate(flats) if flats else np.zeros((0,), np.int32)
+        step = max(int(packed), self.n_shards)
+        for start in range(0, len(flat), step):
+            chunk = flat[start:start + step]
+            if len(chunk) < step:
+                chunk = np.concatenate(
+                    [chunk, np.full(step - len(chunk), -1, np.int32)])
+            gidx = self._pad_multiple(chunk)
+            chunk_names = names[start:start + step]
+            yield gidx, chunk_names + [""] * (len(gidx) - len(chunk_names))
+
     def _run_eval_epoch(self, loader: HostLoader) -> (Dict, float):
         C = self._model.num_classes
         meters = MeterInterface(default_focus="eval")
@@ -599,7 +629,14 @@ class Trainer:
         sampler = loader.sampler
         from ..data.loader import device_prefetch
         pending = []
-        if self._device_data:
+        packed = int((self._config.get("Trainer") or {}).get("packed_eval", 0))
+        if self._device_data and packed > 0:
+            for gidx, names in self._packed_eval_batches(loader, packed):
+                out = self._eval_step(
+                    self._state.params["model"], self._state.batch_stats,
+                    self._put_batch(gidx))
+                pending.append((out, (gidx >= 0).astype(np.float32), names))
+        elif self._device_data:
             ds = loader.dataset
             for i, local in enumerate(sampler):
                 gidx = self._pad_multiple(np.asarray(ds.to_global(local), np.int32))
@@ -622,6 +659,8 @@ class Trainer:
             out = jax.tree_util.tree_map(lambda x: x[b], stacked)
             meters["loss"].add(float(out["loss"]))
             keep = np.asarray(valids[b]).astype(bool)
+            if not isinstance(scan, (str, type(None))):
+                scan = [g for g, k in zip(scan, keep) if k]  # packed_eval path
             dice.add(out["inter"][keep], out["union"][keep], group_name=scan)
         stats = meters.statistics("eval")
         return stats, float(stats["dice"]["DSC_mean"])
