@@ -30,6 +30,7 @@ Output: ONE json line with the fields
   semi_ms_per_step            bf16 semi step, MT+consistency hooks (cfg 5)
   semi_slices_per_sec         10 slices (5 lab + 5 unl) per semi step
   eval_ms_per_step            bf16 12-slice per-scan eval step (cfg 1)
+  eval_packed96_ms_per_step   bf16 96-slice packed-eval program (Trainer.packed_eval)
   dispatch_ack_slices_per_sec relay ack rate (NOT a device measurement)
   flops_per_step              analytic conv FLOPs of the parity-shape step
   tflops / mfu                achieved vs v5e bf16 peak (197 TFLOP/s)
@@ -236,16 +237,17 @@ def measure_step_matrix(dtype_name="bfloat16", *, crop=None, canvas=None,
     dev5b = jax.device_put(rng.randint(0, len(ds), size=(200, 5)).astype(_np.int32))
     out["semi"] = time_epoch_step(semi, mk_state(True), dev5, dev5b, scal)
 
-    # ---- eval (12-slice scan batch)
+    # ---- eval (12-slice scan batch; + the packed-eval production geometry,
+    # Trainer.packed_eval=96 — RESULTS.md round-4 packed-eval table)
     ev = build_eval_step(model, num_classes=4, crop=crop, store=store,
                          val_policy=val_policy, out_size=crop)
-    gidx = jax.device_put(rng.randint(0, len(ds), size=(12,)).astype(_np.int32))
     params, stats = variables["params"], variables.get("batch_stats", {})
-
-    for _ in range(warmup):
-        r = ev(params, stats, gidx)
-    jax.block_until_ready(r)
-    out["eval"] = profile_device_time(lambda: ev(params, stats, gidx), reps=reps)
+    for flavor, b in (("eval", 12), ("eval_packed96", 96)):
+        gidx = jax.device_put(rng.randint(0, len(ds), size=(b,)).astype(_np.int32))
+        for _ in range(warmup):
+            r = ev(params, stats, gidx)
+        jax.block_until_ready(r)
+        out[flavor] = profile_device_time(lambda: ev(params, stats, gidx), reps=reps)
     return out
 
 

@@ -668,7 +668,11 @@ class Trainer:
     # ------------------------------------------------------- deferred (zero-read) loop
     def _dispatch_eval(self, loader: HostLoader):
         """Dispatch all eval batches; return (stacked_outs_dev, valids_np, scans).
-        No device reads."""
+        No device reads. Always per-scan batches: `Trainer.packed_eval` only
+        applies to the eager eval loop (`_device_val_score`'s jitted
+        best-checkpoint selection relies on batch == scan; the deferred run
+        already pays zero per-program dispatch reads, so packing buys little
+        there)."""
         sampler = loader.sampler
         ds = loader.dataset
         outs, valids, scans = [], [], []
