@@ -1,0 +1,236 @@
+"""Gradient-cache chunked contrastive pretraining — decouples encoder
+activation memory from the contrastive batch size.
+
+The reference caps the contrastive batch at 2N=60 (config/pretrain.yaml:14-17)
+because its step is monolithic twice over: the loss materializes >=5 [2N,2N]
+tensors (contrastyou/losses/contrast_loss3.py:156-196) AND the encoder
+forward/backward stores activations for all 2N views at once. The fused
+Pallas criterion (ops/supcon_pallas.py) and the row-sharded form
+(parallel/contrastive.py) removed the loss wall; this module removes the
+remaining one — the O(2N) stored encoder activations (~7 MB/slice bf16 at
+224^2 UNet-256, i.e. HBM-full near 2N~4k on a 16 GB chip) — with the
+two-pass gradient-cache schedule (Gao et al. 2021, "Scaling Deep Contrastive
+Learning Batch Size under Memory Limited Setup", arXiv 2101.06983):
+
+  pass A (no grads):  z_c = project(encode(augment(x_c))) per chunk under
+                      lax.scan -> embeddings z [2N, D]; activations freed
+                      between chunks
+  loss pass:          (loss, dL/dz) on the tiny [2N, D] matrix — the fused
+                      blockwise kernel above ops.FUSED_MIN_ROWS
+  pass B (grads):     re-encode each chunk under lax.scan and pull the cached
+                      cotangent dL/dz_c back through a per-chunk VJP,
+                      accumulating parameter grads across chunks
+
+Peak memory = ONE chunk's activations + [2N, D] embeddings + params/opt, at
+~4/3 the FLOPs of direct backprop (one extra forward). Combined with the
+fused criterion this makes 2N in the tens of thousands trainable on a single
+chip (RESULTS.md round-4 gradcache section for measured sizes).
+
+Exactness: the cached two-pass gradient is mathematically identical to direct
+backprop through the same chunked computation — pinned by
+tests/test_gradcache.py against `step.direct_value_and_grad` (ordinary
+jax.grad through pass A + the loss).
+
+BatchNorm semantics: each chunk normalizes with ITS OWN batch statistics and
+running stats chain chunk-to-chunk (the standard gradient-accumulation
+convention — the torch equivalent of processing chunks as separate
+mini-batches). The monolithic step (steps.build_pretrain_step) instead
+normalizes over the full 2N batch, so the two steps are equal-in-distribution
+rather than bit-equal; everything downstream of the embeddings is the same
+function.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .state import TrainState
+from .steps import (_apply_model, _as_float_image, _epoch_row,
+                    _optimizer_update, _resolve_batch)
+from ..data.augment import AugmentPolicy, apply_flip, augment_twice, flip_params
+from ..data.device_store import DeviceStore
+from ..hooks.base import TrainerHook, label_from_contrast_on
+
+
+def build_gradcache_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
+                                  policy: AugmentPolicy, total_freedom: bool,
+                                  until: Optional[str], num_chunks: int,
+                                  grad_mask=None, flip_threshold: float = 0.8,
+                                  store: Optional[DeviceStore] = None,
+                                  mesh=None):
+    """Drop-in replacement for steps.build_pretrain_step with chunked
+    two-pass gradients (`Trainer.grad_cache: num_chunks` in config).
+
+    Same call surface: step(state, batch, key, hook_scalars) and
+    step.epoch_step(state, epoch_idx, hook_scalars) -> (state, metrics with
+    reg_loss + per-hook metrics). The batch is split into `num_chunks` equal
+    chunks (batch size must divide evenly); augmentation/flip keys are folded
+    per chunk so both passes replay identical geometry.
+    """
+    hooks = tuple(hooks)
+    num_chunks = int(num_chunks)
+    if num_chunks < 1:
+        raise ValueError(f"num_chunks must be >= 1, got {num_chunks}")
+    if mesh is not None:
+        raise NotImplementedError(
+            "Trainer.grad_cache runs single-chip steps; under Trainer.mesh use "
+            "global_contrast=row_sharded (per-chip loss is already O(1/n_dev)) "
+            "with per-chip batch sizing instead")
+    for h in hooks:
+        if not getattr(h, "is_encoder", False):
+            raise NotImplementedError(
+                f"grad_cache supports encoder contrastive hooks; {h.name} taps "
+                f"decoder stage {h.feature_name} (dense point sampling is "
+                "batch-local and does not benefit from a global batch)")
+
+    def _chunked(tree):
+        def split(a):
+            b = a.shape[0]
+            if b % num_chunks:
+                raise ValueError(
+                    f"grad_cache: batch size {b} not divisible by "
+                    f"num_chunks={num_chunks}")
+            return a.reshape((num_chunks, b // num_chunks) + a.shape[1:])
+        return jax.tree_util.tree_map(split, tree)
+
+    def _encode_chunk(params, stats, batch_c, c, k_aug, k_flip, update_stats):
+        """One chunk: augment two views -> flip view 2 -> partial forward ->
+        per-hook projected (z1_c, z2_c). Deterministic in (keys, c): both
+        passes replay the same geometry."""
+        (v1, _), (v2, _) = augment_twice(
+            jax.random.fold_in(k_aug, c), _as_float_image(batch_c["image"]),
+            None, policy, total_freedom=total_freedom, sizes=batch_c.get("size"))
+        n = v1.shape[0]
+        fp = flip_params(jax.random.fold_in(k_flip, c), n, threshold=flip_threshold)
+        v2 = apply_flip(v2, fp)
+        x = jnp.concatenate([v1, v2], axis=0)
+        acts, new_stats = _apply_model(model, params["model"], stats, x,
+                                       train=True, until=until,
+                                       update_stats=update_stats)
+        ctx = {"acts": acts, "n_unl": n, "flip": fp}
+        zs = {h.name: h._projected_views(params["hooks"].get(h.name), ctx)
+              for h in hooks}
+        return zs, new_stats
+
+    def _embeddings(params, stats, batch, k_aug, k_flip):
+        """Pass A: scan the chunks, carrying BN running stats; stack and
+        flatten per-hook embeddings back to the full [N, D]."""
+        batch_c = _chunked(batch)
+
+        def body(carry_stats, xs):
+            c, bc = xs
+            zs, new_stats = _encode_chunk(params, carry_stats, bc, c,
+                                          k_aug, k_flip, True)
+            return new_stats, zs
+
+        final_stats, stacked = jax.lax.scan(
+            body, stats, (jnp.arange(num_chunks), batch_c))
+        zs = {name: (z1.reshape(-1, z1.shape[-1]), z2.reshape(-1, z2.shape[-1]))
+              for name, (z1, z2) in stacked.items()}
+        return zs, final_stats
+
+    def _meta_ctx(batch):
+        return {"partition": batch["partition"], "patient": batch["patient"],
+                "cycle": batch["cycle"], "scan_idx": batch["scan_idx"],
+                "valid": batch["valid"]}
+
+    def _loss_on_z(zs, meta_ctx, hook_scalars):
+        """Everything downstream of the embeddings — identical math to the
+        monolithic step's hook loss (hooks/infonce.py loss_fn)."""
+        total = jnp.zeros((), jnp.float32)
+        metrics = {}
+        for h in hooks:
+            z1, z2 = zs[h.name]
+            target = label_from_contrast_on(meta_ctx, h.contrast_on)
+            loss, m = h._criterion(z1, z2, target, meta_ctx["valid"],
+                                   hook_scalars.get(h.name, {}), meta_ctx)
+            total = total + h.weight * loss
+            metrics[h.name] = m
+        return total, metrics
+
+    def _forward_loss(params, stats, batch, key, hook_scalars):
+        """Differentiable pass A + loss: the exact function whose gradient the
+        cached two-pass reproduces (the test oracle; also usable directly —
+        but it stores every chunk's activations, defeating the point)."""
+        k_aug, k_flip, _ = jax.random.split(key, 3)
+        zs, new_stats = _embeddings(params, stats, batch, k_aug, k_flip)
+        loss, metrics = _loss_on_z(zs, _meta_ctx(batch), hook_scalars)
+        return loss, (new_stats, metrics)
+
+    def _cached_grads(params, stats, batch, key, hook_scalars):
+        """Passes A + loss + B: same value/grads as
+        jax.value_and_grad(_forward_loss) at one-chunk activation memory."""
+        k_aug, k_flip, _ = jax.random.split(key, 3)
+        zs, new_stats = _embeddings(params, stats, batch, k_aug, k_flip)
+        (loss, metrics), dzs = jax.value_and_grad(
+            lambda z: _loss_on_z(z, _meta_ctx(batch), hook_scalars),
+            has_aux=True)(zs)
+
+        batch_c = _chunked(batch)
+        dzs_c = _chunked(dzs)
+        zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def body(g_acc, xs):
+            c, bc, dz_c = xs
+
+            def fwd(p):
+                z, _ = _encode_chunk(p, stats, bc, c, k_aug, k_flip, False)
+                return z
+
+            _, vjp_fn = jax.vjp(fwd, params)
+            g = vjp_fn(dz_c)[0]
+            return jax.tree_util.tree_map(jnp.add, g_acc, g), None
+
+        grads, _ = jax.lax.scan(body, zero, (jnp.arange(num_chunks), batch_c, dzs_c))
+        return loss, grads, new_stats, metrics
+
+    def _step_body(state: TrainState, batch, key, hook_scalars):
+        loss, grads, new_stats, hook_metrics = _cached_grads(
+            state.params, state.batch_stats, batch, key, hook_scalars)
+        new_params, new_opt = _optimizer_update(optimizer, grads, state, grad_mask)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        return new_state, {"reg_loss": loss, "hooks": hook_metrics}
+
+    def raw_step(state: TrainState, batch, key, hook_scalars, store_arrays=None):
+        return _step_body(state, _resolve_batch(store_arrays, batch), key, hook_scalars)
+
+    jitted = partial(jax.jit, donate_argnums=(0,))(raw_step)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _epoch_step(state: TrainState, epoch_idx, hook_scalars, store_arrays):
+        idx, key = _epoch_row(state, epoch_idx)
+        return _step_body(state, _resolve_batch(store_arrays, idx), key, hook_scalars)
+
+    arrays = store.arrays if store is not None else None
+
+    def step(state, batch, key, hook_scalars):
+        return jitted(state, batch, key, hook_scalars, arrays)
+
+    def epoch_step(state, epoch_idx, hook_scalars):
+        return _epoch_step(state, epoch_idx, hook_scalars, arrays)
+
+    def direct_value_and_grad(state, batch, key, hook_scalars):
+        """Test oracle: ordinary autodiff through the identical chunked math
+        (full activation storage). Returns ((loss, (new_stats, metrics)), grads)."""
+        batch = _resolve_batch(arrays, batch)
+        return jax.value_and_grad(_forward_loss, has_aux=True)(
+            state.params, state.batch_stats, batch, key, hook_scalars)
+
+    def cached_value_and_grad(state, batch, key, hook_scalars):
+        """The two-pass gradient itself, same return shape as
+        direct_value_and_grad — the equivalence under test."""
+        batch = _resolve_batch(arrays, batch)
+        loss, grads, new_stats, metrics = _cached_grads(
+            state.params, state.batch_stats, batch, key, hook_scalars)
+        return (loss, (new_stats, metrics)), grads
+
+    step.raw = raw_step
+    step.epoch_step = epoch_step
+    step.direct_value_and_grad = direct_value_and_grad
+    step.cached_value_and_grad = cached_value_and_grad
+    step.num_chunks = num_chunks
+    return step

@@ -1060,11 +1060,23 @@ class _PretrainTrainer(Trainer):
                                        mesh=self._mesh)
 
     def _build_steps(self) -> None:
-        self._train_step = build_pretrain_step(
-            self._model, self._hooks, self._optimizer, policy=self.train_policy,
-            total_freedom=self.total_freedom, until=self._forward_until,
-            grad_mask=self._grad_mask, store=self._train_store(),
-            mesh=self._mesh)
+        grad_cache = int((self._config.get("Trainer") or {}).get("grad_cache", 0))
+        if grad_cache:
+            # chunked two-pass gradients: encoder activation memory O(chunk)
+            # instead of O(2N) — the large-global-batch pretrain path
+            # (training/gradcache.py; Gao et al. 2021)
+            from .gradcache import build_gradcache_pretrain_step
+            self._train_step = build_gradcache_pretrain_step(
+                self._model, self._hooks, self._optimizer, policy=self.train_policy,
+                total_freedom=self.total_freedom, until=self._forward_until,
+                num_chunks=grad_cache, grad_mask=self._grad_mask,
+                store=self._train_store(), mesh=self._mesh)
+        else:
+            self._train_step = build_pretrain_step(
+                self._model, self._hooks, self._optimizer, policy=self.train_policy,
+                total_freedom=self.total_freedom, until=self._forward_until,
+                grad_mask=self._grad_mask, store=self._train_store(),
+                mesh=self._mesh)
         # batch-0 sim/pos/sp-mask TensorBoard dumps (reference
         # semi_seg/hooks/infonce.py:185-193,263-266). Opt-in: the probe is one
         # extra XLA program, and compiles are minutes on this relay.
