@@ -283,18 +283,60 @@ def _warp_backend(backend: str) -> str:
     return "mxu" if jax.default_backend() == "tpu" else "gather"
 
 
+def _warp_block() -> int:
+    """Max views per MXU-warp dispatch (0 disables blocking). Default 128 —
+    the measured lane-alignment knee; SPCL_WARP_BLOCK overrides (debug)."""
+    import os
+    try:
+        return int(os.environ.get("SPCL_WARP_BLOCK", "128"))
+    except ValueError:
+        return 128
+
+
 def apply_geometric(image: jnp.ndarray, label: Optional[jnp.ndarray],
                     params: Dict[str, jnp.ndarray], crop: int,
                     rotate_after_crop: bool = False,
                     max_degrees: Optional[float] = None,
-                    backend: str = "auto"):
+                    backend: str = "auto", block: Optional[int] = None):
     """image [B,H,W,C] bilinear; label [B,H,W] nearest — same params.
 
     max_degrees: static |rotation| bound (policy.rot_degrees); required by
-    the mxu backend to size the shear shift range. None -> inferred as 45."""
+    the mxu backend to size the shear shift range. None -> inferred as 45.
+    block: max views per MXU-warp dispatch; None -> the measured 128 default
+    (SPCL_WARP_BLOCK env override), 0 -> never block. Mesh step builders pass
+    0: per-chip batches are already small, and reshaping a batch-sharded axis
+    into blocks would only add GSPMD regrouping."""
     if _warp_backend(backend) == "mxu":
         from .warp_mxu import warp_mxu
         md = 45.0 if max_degrees is None else float(max_degrees)
+        blk = _warp_block() if block is None else int(block)
+        b = image.shape[0]
+        if blk and b > blk and b % blk == 0:
+            # Batch-blocked warp: the shear/canvas ops are lane-efficient only
+            # while the batch fits the 128-wide lane dimension — measured
+            # per-view warp cost grows ~6x from 128 to 1024 views as XLA
+            # switches the canvas layout (RESULTS.md round-4 gradcache
+            # section). lax.map keeps every block at the fast <=128 shape;
+            # identical results (pure per-sample math, tests/test_warp_mxu.py).
+            k = b // blk
+
+            def _blk(a):
+                return a.reshape((k, blk) + a.shape[1:])
+
+            params_b = jax.tree_util.tree_map(_blk, params)
+            if label is None:
+                out_img = jax.lax.map(
+                    lambda xs: warp_mxu(xs[0], None, xs[1], crop,
+                                        rotate_after_crop, md)[0],
+                    (_blk(image), params_b))
+                out_lab = None
+            else:
+                out_img, out_lab = jax.lax.map(
+                    lambda xs: warp_mxu(xs[0], xs[1], xs[2], crop,
+                                        rotate_after_crop, md),
+                    (_blk(image), _blk(label), params_b))
+                out_lab = out_lab.reshape((b,) + out_lab.shape[2:])
+            return out_img.reshape((b,) + out_img.shape[2:]), out_lab
         return warp_mxu(image, label, params, crop, rotate_after_crop, md)
     in_size = image.shape[1]
     sy, sx = _source_coords(params, crop, in_size, rotate_after_crop)
@@ -321,26 +363,31 @@ def apply_jitter(key: jax.Array, image: jnp.ndarray, policy: AugmentPolicy) -> j
 
 # --------------------------------------------------------------------------- composed views
 def augment_once(key: jax.Array, image: jnp.ndarray, label: Optional[jnp.ndarray],
-                 policy: AugmentPolicy, sizes: Optional[jnp.ndarray] = None):
+                 policy: AugmentPolicy, sizes: Optional[jnp.ndarray] = None,
+                 block: Optional[int] = None):
     kg, kj = jax.random.split(key)
     params = sample_geometric(kg, image.shape[0], policy, image.shape[1], sizes)
     img, lab = apply_geometric(image, label, params, policy.crop,
-                               policy.rotate_after_crop, policy.rot_degrees)
+                               policy.rotate_after_crop, policy.rot_degrees,
+                               block=block)
     img = apply_jitter(kj, img, policy)
     return img, lab
 
 
 def augment_twice(key: jax.Array, image: jnp.ndarray, label: Optional[jnp.ndarray],
                   policy: AugmentPolicy, total_freedom: bool = True,
-                  sizes: Optional[jnp.ndarray] = None):
+                  sizes: Optional[jnp.ndarray] = None,
+                  block: Optional[int] = None):
     """Two augmented views (reference SequentialWrapperTwice semantics)."""
     kg1, kg2, kj1, kj2 = jax.random.split(key, 4)
     b, s = image.shape[0], image.shape[1]
     p1 = sample_geometric(kg1, b, policy, s, sizes)
     p2 = sample_geometric(kg2, b, policy, s, sizes) if total_freedom else p1
     rac = policy.rotate_after_crop
-    img1, lab1 = apply_geometric(image, label, p1, policy.crop, rac, policy.rot_degrees)
-    img2, lab2 = apply_geometric(image, label, p2, policy.crop, rac, policy.rot_degrees)
+    img1, lab1 = apply_geometric(image, label, p1, policy.crop, rac,
+                                 policy.rot_degrees, block=block)
+    img2, lab2 = apply_geometric(image, label, p2, policy.crop, rac,
+                                 policy.rot_degrees, block=block)
     img1 = apply_jitter(kj1, img1, policy)
     img2 = apply_jitter(kj2, img2, policy)
     return (img1, lab1), (img2, lab2)

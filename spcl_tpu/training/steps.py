@@ -242,6 +242,7 @@ def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
     hooks = tuple(hooks)
     needs_teacher = any(h.needs_teacher for h in hooks)
     needs_mixup = any(isinstance_name(h) == "MixUpHook" for h in hooks)
+    warp_block = 0 if mesh is not None else None  # see augment.apply_geometric
 
     def loss_fn(params, batch_stats, teacher_params, batch_l, batch_u, key, hook_scalars):
         k_lab, k_unl, k_flip, k_hooks = jax.random.split(key, 4)
@@ -251,13 +252,13 @@ def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
             # mixup consumes both labeled views (reference new_comparable.py:18-86)
             (img_l, lab_l), (img_l2, lab_l2) = augment_twice(
                 k_lab, image_l, label_l, policy, total_freedom=True,
-                sizes=batch_l.get("size"))
+                sizes=batch_l.get("size"), block=warp_block)
         else:
             img_l, lab_l = augment_once(k_lab, image_l, label_l, policy,
-                                        sizes=batch_l.get("size"))
+                                        sizes=batch_l.get("size"), block=warp_block)
         (img_u, _), (img_u_cf, _) = augment_twice(
             k_unl, _as_float_image(batch_u["image"]), None, policy,
-            total_freedom=False, sizes=batch_u.get("size"))
+            total_freedom=False, sizes=batch_u.get("size"), block=warp_block)
         n_l, n_u = img_l.shape[0], img_u.shape[0]
         fp = flip_params(k_flip, n_u, threshold=flip_threshold)
         img_u_tf = apply_flip(img_u_cf, fp)
@@ -385,11 +386,13 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
     (hooks/infonce.py global_contrast="row_sharded")."""
     hooks = tuple(hooks)
 
+    warp_block = 0 if mesh is not None else None  # see augment.apply_geometric
+
     def loss_fn(params, batch_stats, batch, key, hook_scalars):
         k_aug, k_flip, k_hooks = jax.random.split(key, 3)
         (v1, _), (v2, _) = augment_twice(k_aug, _as_float_image(batch["image"]),
                                          None, policy, total_freedom=total_freedom,
-                                         sizes=batch.get("size"))
+                                         sizes=batch.get("size"), block=warp_block)
         n = v1.shape[0]
         fp = flip_params(k_flip, n, threshold=flip_threshold)
         v2 = apply_flip(v2, fp)

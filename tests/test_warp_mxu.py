@@ -131,3 +131,32 @@ def test_mxu_inside_augment_twice(data):
     assert np.isfinite(np.asarray(i1)).all()
     # total_freedom=False: shared geometry -> labels identical across views
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_blocked_warp_identical(monkeypatch):
+    """Batch-blocked dispatch (apply_geometric at B > SPCL_WARP_BLOCK) is the
+    identity transform on results: lax.map over <=block-view chunks runs the
+    same per-sample math."""
+    bb, s = 12, 32
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(bb, s, s, 1).astype(np.float32))
+    lab = jnp.asarray((rng.rand(bb, s, s) * 3).astype(np.int32))
+    pol = AugmentPolicy(crop=24, rot_degrees=30.0, hflip=True, jitter=False)
+    params = sample_geometric(jax.random.PRNGKey(2), bb, pol, s, None)
+    monkeypatch.setenv("SPCL_WARP_BLOCK", "0")
+    i0, l0 = apply_geometric(img, lab, params, 24, False, 30.0, backend="mxu")
+    monkeypatch.setenv("SPCL_WARP_BLOCK", "4")  # 12 views -> 3 blocks
+    i1, l1 = apply_geometric(img, lab, params, 24, False, 30.0, backend="mxu")
+    np.testing.assert_allclose(np.asarray(i0), np.asarray(i1), rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    # label-less path (pretrain views)
+    monkeypatch.setenv("SPCL_WARP_BLOCK", "0")
+    j0, n0 = apply_geometric(img, None, params, 24, False, 30.0, backend="mxu")
+    monkeypatch.setenv("SPCL_WARP_BLOCK", "4")
+    j1, n1 = apply_geometric(img, None, params, 24, False, 30.0, backend="mxu")
+    assert n0 is None and n1 is None
+    np.testing.assert_allclose(np.asarray(j0), np.asarray(j1), rtol=1e-6, atol=1e-6)
+    # indivisible batch falls back to the unblocked path
+    monkeypatch.setenv("SPCL_WARP_BLOCK", "5")
+    i2, _ = apply_geometric(img, lab, params, 24, False, 30.0, backend="mxu")
+    np.testing.assert_allclose(np.asarray(i0), np.asarray(i2), rtol=1e-6, atol=1e-6)
