@@ -26,6 +26,8 @@ Output: ONE json line with the fields
   device_slices_per_sec_f32   f32 parity-shape device slices/sec
   prod_2n128_ms_per_step      bf16 2N=128 device ms/step
   prod_2n128_slices_per_sec   bf16 2N=128 device slices/sec
+  gradcache_2n1024_*          bf16 2N=1024 two-pass cached-gradient step
+                              (Trainer.grad_cache, 64-slice chunks)
   finetune_ms_per_step        bf16 supervised finetune step (BASELINE cfg 2)
   semi_ms_per_step            bf16 semi step, MT+consistency hooks (cfg 5)
   semi_slices_per_sec         10 slices (5 lab + 5 unl) per semi step
@@ -54,12 +56,15 @@ BATCH = SCANS * PARTS  # 30 slices, 60 views
 WARMUP, TIMED = 10, 200
 
 
-def measure_ours(dtype_name="float32", batch_slices=None, time_windows=True):
+def measure_ours(dtype_name="float32", batch_slices=None, time_windows=True,
+                 grad_cache=0):
     """Production path: device-resident dataset (DeviceStore) + epoch-batched
     steps (the epoch's index matrix uploads once; each step derives its batch
     and PRNG key on device from state.step — zero per-step H2D traffic).
     batch_slices: None -> the paper's ContrastBatchSampler 30-slice batch;
     an int -> plain infinite sampler at that batch (the 2N=128 prod shape).
+    grad_cache: >0 -> the two-pass cached-gradient step at that chunk count
+    (training/gradcache.py; the large-global-batch path).
     Returns (ack_rate_slices_per_sec or None, device_ms_per_step or None)."""
     import numpy as np
     import jax
@@ -96,9 +101,15 @@ def measure_ours(dtype_name="float32", batch_slices=None, time_windows=True):
                                hook_params=hook_params, tx=optimizer,
                                base_key=jax.random.PRNGKey(9))
     mask = stage_trainable_mask(variables["params"], stages_from_range(None, "Conv5"))
-    step = build_pretrain_step(model, [hook], optimizer, policy=ACDC_PRETRAIN,
-                               total_freedom=True, until="Conv5", grad_mask=mask,
-                               store=store)
+    if grad_cache:
+        from spcl_tpu.training.gradcache import build_gradcache_pretrain_step
+        step = build_gradcache_pretrain_step(
+            model, [hook], optimizer, policy=ACDC_PRETRAIN, total_freedom=True,
+            until="Conv5", num_chunks=grad_cache, grad_mask=mask, store=store)
+    else:
+        step = build_pretrain_step(model, [hook], optimizer, policy=ACDC_PRETRAIN,
+                                   total_freedom=True, until="Conv5", grad_mask=mask,
+                                   store=store)
 
     if batch_slices is None:
         loader = create_contrastive_loader(ds, scan_sample_num=SCANS, seed=0)
@@ -359,6 +370,13 @@ def main():
     _, dev_ms_prod = measure_ours("bfloat16", batch_slices=64,
                                   time_windows=False)  # 2N=128 prod shape
     try:
+        # large-global-batch path: 2N=1024 two-pass cached grads, 64-slice
+        # chunks (training/gradcache.py; big-2N table in RESULTS.md)
+        _, dev_ms_gc = measure_ours("bfloat16", batch_slices=512,
+                                    time_windows=False, grad_cache=8)
+    except Exception:
+        dev_ms_gc = None
+    try:
         matrix = measure_step_matrix("bfloat16")
     except Exception:
         matrix = {}
@@ -388,6 +406,9 @@ def main():
     if dev_ms_prod:
         out["prod_2n128_ms_per_step"] = round(dev_ms_prod, 3)
         out["prod_2n128_slices_per_sec"] = round(64 * 1000.0 / dev_ms_prod, 1)
+    if dev_ms_gc:
+        out["gradcache_2n1024_ms_per_step"] = round(dev_ms_gc, 3)
+        out["gradcache_2n1024_slices_per_sec"] = round(512 * 1000.0 / dev_ms_gc, 1)
     if ack_rate:
         out["dispatch_ack_slices_per_sec"] = round(ack_rate, 1)
     # full baseline step matrix (BASELINE.md configs 1/2/5), device plane bf16

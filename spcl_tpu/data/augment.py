@@ -284,13 +284,24 @@ def _warp_backend(backend: str) -> str:
 
 
 def _warp_block() -> int:
-    """Max views per MXU-warp dispatch (0 disables blocking). Default 128 —
+    """Max views per MXU-warp dispatch (<=0 disables blocking). Default 128 —
     the measured lane-alignment knee; SPCL_WARP_BLOCK overrides (debug)."""
     import os
     try:
         return int(os.environ.get("SPCL_WARP_BLOCK", "128"))
     except ValueError:
         return 128
+
+
+def mesh_warp_block(mesh) -> Optional[int]:
+    """Warp-block default for step builders: under a mesh, blocking is off
+    (per-chip batches are small, and reshaping a batch-sharded axis into
+    blocks only adds GSPMD regrouping) — unless SPCL_WARP_BLOCK is set
+    explicitly, which always wins."""
+    import os
+    if mesh is None or "SPCL_WARP_BLOCK" in os.environ:
+        return None
+    return 0
 
 
 def apply_geometric(image: jnp.ndarray, label: Optional[jnp.ndarray],
@@ -311,7 +322,7 @@ def apply_geometric(image: jnp.ndarray, label: Optional[jnp.ndarray],
         md = 45.0 if max_degrees is None else float(max_degrees)
         blk = _warp_block() if block is None else int(block)
         b = image.shape[0]
-        if blk and b > blk and b % blk == 0:
+        if blk > 0 and b > blk and b % blk == 0:
             # Batch-blocked warp: the shear/canvas ops are lane-efficient only
             # while the batch fits the 128-wide lane dimension — measured
             # per-view warp cost grows ~6x from 128 to 1024 views as XLA

@@ -41,15 +41,14 @@ function.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from .state import TrainState
-from .steps import (_apply_model, _as_float_image, _epoch_row,
-                    _optimizer_update, _resolve_batch)
+from .steps import (_apply_model, _as_float_image, _optimizer_update,
+                    _resolve_batch, wrap_pretrain_style_step)
 from ..data.augment import AugmentPolicy, apply_flip, augment_twice, flip_params
 from ..data.device_store import DeviceStore
 from ..hooks.base import TrainerHook, label_from_contrast_on
@@ -80,6 +79,13 @@ def build_gradcache_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer
             "global_contrast=row_sharded (per-chip loss is already O(1/n_dev)) "
             "with per-chip batch sizing instead")
     for h in hooks:
+        # the two-pass split needs the INFONCE interface (embed separately
+        # from the loss), not just "taps an encoder stage"
+        if not (hasattr(h, "_projected_views") and hasattr(h, "_criterion")):
+            raise NotImplementedError(
+                f"grad_cache supports INFONCE-family contrastive hooks "
+                f"(separate embed/criterion phases); got {type(h).__name__} "
+                f"({h.name}) — run it under the monolithic pretrain step")
         if not getattr(h, "is_encoder", False):
             raise NotImplementedError(
                 f"grad_cache supports encoder contrastive hooks; {h.name} taps "
@@ -195,23 +201,8 @@ def build_gradcache_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer
                                   batch_stats=new_stats, opt_state=new_opt)
         return new_state, {"reg_loss": loss, "hooks": hook_metrics}
 
-    def raw_step(state: TrainState, batch, key, hook_scalars, store_arrays=None):
-        return _step_body(state, _resolve_batch(store_arrays, batch), key, hook_scalars)
-
-    jitted = partial(jax.jit, donate_argnums=(0,))(raw_step)
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def _epoch_step(state: TrainState, epoch_idx, hook_scalars, store_arrays):
-        idx, key = _epoch_row(state, epoch_idx)
-        return _step_body(state, _resolve_batch(store_arrays, idx), key, hook_scalars)
-
-    arrays = store.arrays if store is not None else None
-
-    def step(state, batch, key, hook_scalars):
-        return jitted(state, batch, key, hook_scalars, arrays)
-
-    def epoch_step(state, epoch_idx, hook_scalars):
-        return _epoch_step(state, epoch_idx, hook_scalars, arrays)
+    step = wrap_pretrain_style_step(_step_body, store)
+    arrays = step.store_arrays
 
     def direct_value_and_grad(state, batch, key, hook_scalars):
         """Test oracle: ordinary autodiff through the identical chunked math
@@ -228,8 +219,6 @@ def build_gradcache_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer
             state.params, state.batch_stats, batch, key, hook_scalars)
         return (loss, (new_stats, metrics)), grads
 
-    step.raw = raw_step
-    step.epoch_step = epoch_step
     step.direct_value_and_grad = direct_value_and_grad
     step.cached_value_and_grad = cached_value_and_grad
     step.num_chunks = num_chunks

@@ -22,7 +22,7 @@ import optax
 
 from .state import TrainState
 from ..data.augment import (AugmentPolicy, apply_flip, augment_once, augment_twice,
-                            center_crop, flip_params)
+                            center_crop, flip_params, mesh_warp_block)
 from ..data.device_store import DeviceStore, gather_from
 from ..hooks.base import TrainerHook
 from ..losses.functional import class2one_hot
@@ -242,7 +242,7 @@ def build_semi_step(model, hooks: Sequence[TrainerHook], optimizer, *,
     hooks = tuple(hooks)
     needs_teacher = any(h.needs_teacher for h in hooks)
     needs_mixup = any(isinstance_name(h) == "MixUpHook" for h in hooks)
-    warp_block = 0 if mesh is not None else None  # see augment.apply_geometric
+    warp_block = mesh_warp_block(mesh)  # see augment.mesh_warp_block
 
     def loss_fn(params, batch_stats, teacher_params, batch_l, batch_u, key, hook_scalars):
         k_lab, k_unl, k_flip, k_hooks = jax.random.split(key, 4)
@@ -372,6 +372,35 @@ def isinstance_name(obj) -> str:
     return obj.__class__.__name__
 
 
+def wrap_pretrain_style_step(step_body, store: Optional[DeviceStore]):
+    """Jit/donate/epoch plumbing shared by every (state, batch, key, scalars)
+    pretrain-shaped step body (build_pretrain_step and the gradient-cache
+    step in training/gradcache.py): donated-state jit, the DeviceStore
+    arrays as explicit args, and the epoch-batched entry (_epoch_row)."""
+    def raw_step(state: TrainState, batch, key, hook_scalars, store_arrays=None):
+        return step_body(state, _resolve_batch(store_arrays, batch), key, hook_scalars)
+
+    jitted = partial(jax.jit, donate_argnums=(0,))(raw_step)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _epoch_step(state: TrainState, epoch_idx, hook_scalars, store_arrays):
+        idx, key = _epoch_row(state, epoch_idx)
+        return step_body(state, _resolve_batch(store_arrays, idx), key, hook_scalars)
+
+    arrays = store.arrays if store is not None else None
+
+    def step(state, batch, key, hook_scalars):
+        return jitted(state, batch, key, hook_scalars, arrays)
+
+    def epoch_step(state, epoch_idx, hook_scalars):
+        return _epoch_step(state, epoch_idx, hook_scalars, arrays)
+
+    step.raw = raw_step  # for lax.scan'ed multi-step drivers (bench, big runs)
+    step.epoch_step = epoch_step
+    step.store_arrays = arrays
+    return step
+
+
 # =============================================================================== pretrain
 def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
                         policy: AugmentPolicy, total_freedom: bool, until: Optional[str],
@@ -386,7 +415,7 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
     (hooks/infonce.py global_contrast="row_sharded")."""
     hooks = tuple(hooks)
 
-    warp_block = 0 if mesh is not None else None  # see augment.apply_geometric
+    warp_block = mesh_warp_block(mesh)  # see augment.mesh_warp_block
 
     def loss_fn(params, batch_stats, batch, key, hook_scalars):
         k_aug, k_flip, k_hooks = jax.random.split(key, 3)
@@ -423,27 +452,7 @@ def build_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer, *,
                                   batch_stats=new_stats, opt_state=new_opt)
         return new_state, {"reg_loss": loss, "hooks": hook_metrics}
 
-    def raw_step(state: TrainState, batch, key, hook_scalars, store_arrays=None):
-        return _step_body(state, _resolve_batch(store_arrays, batch), key, hook_scalars)
-
-    jitted = partial(jax.jit, donate_argnums=(0,))(raw_step)
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def _epoch_step(state: TrainState, epoch_idx, hook_scalars, store_arrays):
-        idx, key = _epoch_row(state, epoch_idx)
-        return _step_body(state, _resolve_batch(store_arrays, idx), key, hook_scalars)
-
-    arrays = store.arrays if store is not None else None
-
-    def step(state, batch, key, hook_scalars):
-        return jitted(state, batch, key, hook_scalars, arrays)
-
-    def epoch_step(state, epoch_idx, hook_scalars):
-        return _epoch_step(state, epoch_idx, hook_scalars, arrays)
-
-    step.raw = raw_step  # for lax.scan'ed multi-step drivers (bench, big runs)
-    step.epoch_step = epoch_step
-    return step
+    return wrap_pretrain_style_step(_step_body, store)
 
 
 # =============================================================================== matrix probe

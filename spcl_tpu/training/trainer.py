@@ -1081,6 +1081,13 @@ class _PretrainTrainer(Trainer):
         # semi_seg/hooks/infonce.py:185-193,263-266). Opt-in: the probe is one
         # extra XLA program, and compiles are minutes on this relay.
         self._matrix_probe = None
+        if grad_cache and (self._config.get("Trainer") or {}).get("dump_matrices"):
+            # the probe derives whole-batch augmentation keys (the gradcache
+            # step folds keys per chunk — its geometry would not match) and
+            # materializes [2N,2N] matrices, reintroducing the memory wall
+            # grad_cache exists to remove
+            raise ValueError("Trainer.dump_matrices is incompatible with "
+                             "Trainer.grad_cache — disable one")
         if (self._config.get("Trainer") or {}).get("dump_matrices") and self._device_data:
             from .steps import build_matrix_probe
             self._matrix_probe = build_matrix_probe(
