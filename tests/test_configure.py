@@ -91,6 +91,8 @@ def test_specific_config_presets_build_hooks():
         "pretrain.yaml": set(),  # schedule knobs only
         "selfpaced_infonce.yaml": {"SelfPacedINFONCEHook"},
         "uda.yaml": {"ConsistencyTrainerHook"},
+        "production_pretrain.yaml": {"SelfPacedINFONCEHook"},
+        "bigbatch_pretrain.yaml": {"SelfPacedINFONCEHook"},
     }
     for name, want in expected.items():
         cfg = yaml_load(root / name)
