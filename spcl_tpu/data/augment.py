@@ -327,8 +327,13 @@ def apply_geometric(image: jnp.ndarray, label: Optional[jnp.ndarray],
             # while the batch fits the 128-wide lane dimension — measured
             # per-view warp cost grows ~6x from 128 to 1024 views as XLA
             # switches the canvas layout (RESULTS.md round-4 gradcache
-            # section). lax.map keeps every block at the fast <=128 shape;
-            # identical results (pure per-sample math, tests/test_warp_mxu.py).
+            # section). lax.map keeps every block at the fast <=128 shape
+            # (measured -16% to -25% on the whole big-batch step); identical
+            # results (pure per-sample math, tests/test_warp_mxu.py). A
+            # statically UNROLLED block loop was measured equal (151.8 vs
+            # 150.8 ms @512 slices) — the residual penalty is the layout the
+            # surrounding graph pins on the block boundaries, not the while
+            # body — so the map form wins on program size.
             k = b // blk
 
             def _blk(a):
