@@ -369,13 +369,15 @@ def main():
     _, dev_ms_f32 = measure_ours("float32", time_windows=False)
     _, dev_ms_prod = measure_ours("bfloat16", batch_slices=64,
                                   time_windows=False)  # 2N=128 prod shape
+    gc_err = None
     try:
         # large-global-batch path: 2N=1024 two-pass cached grads, 64-slice
         # chunks (training/gradcache.py; big-2N table in RESULTS.md)
         _, dev_ms_gc = measure_ours("bfloat16", batch_slices=512,
                                     time_windows=False, grad_cache=8)
-    except Exception:
+    except Exception as e:  # a broken grad_cache path must be VISIBLE to the gate
         dev_ms_gc = None
+        gc_err = f"{type(e).__name__}: {e}"[:200]
     try:
         matrix = measure_step_matrix("bfloat16")
     except Exception:
@@ -409,6 +411,8 @@ def main():
     if dev_ms_gc:
         out["gradcache_2n1024_ms_per_step"] = round(dev_ms_gc, 3)
         out["gradcache_2n1024_slices_per_sec"] = round(512 * 1000.0 / dev_ms_gc, 1)
+    elif gc_err:
+        out["gradcache_2n1024_error"] = gc_err
     if ack_rate:
         out["dispatch_ack_slices_per_sec"] = round(ack_rate, 1)
     # full baseline step matrix (BASELINE.md configs 1/2/5), device plane bf16

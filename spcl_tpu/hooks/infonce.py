@@ -112,6 +112,24 @@ class INFONCEHook(TrainerHook):
         return fn(z1, z2, target, valid.astype(jnp.float32),
                   jnp.asarray(gamma, jnp.float32))
 
+    def _shard_criterion(self, z1, z2, target, valid, scalars, axis_name):
+        """Per-shard form of `_criterion` for callers ALREADY INSIDE a
+        shard_map region (the mesh gradcache step, training/gradcache.py):
+        same dispatch and metrics, per-shard inputs, `axis_name` bound.
+        Owned here so criterion changes cannot silently diverge between the
+        monolithic and gradcache mesh paths."""
+        from ..parallel.contrastive import (global_self_paced_supcon,
+                                            sharded_self_paced_supcon)
+        fn = (sharded_self_paced_supcon if self.global_contrast == "row_sharded"
+              else global_self_paced_supcon)
+        # gamma=1e9 hard-mode weights are exactly 1: plain SupCon
+        loss, _ = fn(z1, z2, target, valid.astype(jnp.float32), gamma=1e9,
+                     axis_name=axis_name, temperature=self.temperature,
+                     weight_update="hard", correct_grad=False,
+                     use_fused=(None if self.use_fused == "auto"
+                                else bool(self.use_fused)))
+        return loss, {"loss": loss}
+
     def _criterion(self, z1, z2, target, valid, scalars, ctx):
         mesh = ctx.get("mesh")
         if self.global_contrast == "row_sharded" and mesh is not None:
@@ -200,6 +218,19 @@ class SelfPacedINFONCEHook(INFONCEHook):
 
     def on_epoch_end(self) -> None:
         self.scheduler.step()
+
+    def _shard_criterion(self, z1, z2, target, valid, scalars, axis_name):
+        from ..parallel.contrastive import (global_self_paced_supcon,
+                                            sharded_self_paced_supcon)
+        gamma = scalars["gamma"]  # KeyError on a missing entry — _criterion parity
+        fn = (sharded_self_paced_supcon if self.global_contrast == "row_sharded"
+              else global_self_paced_supcon)
+        loss, ratio = fn(z1, z2, target, valid.astype(jnp.float32), gamma=gamma,
+                         axis_name=axis_name, temperature=self.temperature,
+                         weight_update=self.mode, correct_grad=self.correct_grad,
+                         use_fused=(None if self.use_fused == "auto"
+                                    else bool(self.use_fused)))
+        return loss, {"loss": loss, "sp_weight": ratio, "age_param": gamma}
 
     def _criterion(self, z1, z2, target, valid, scalars, ctx):
         gamma = scalars["gamma"]

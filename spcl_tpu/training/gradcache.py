@@ -31,7 +31,8 @@ each chip scans chunks of its own batch shard (activations O(chunk/chip)),
 the criterion runs row-sharded over the mesh (loss compute/memory
 O(2N^2/n_chips), fused strips above the measured threshold), the loss
 cotangents flow back through the all_gather transpose into each chip's
-chunk VJPs, and one grad psum + stats pmean close the step.
+chunk VJPs, and one grad pmean + stats pmean close the step (pmean, not
+psum — see the transpose note in _cached_grads).
 
 Exactness: the cached two-pass gradient is mathematically identical to direct
 backprop through the same chunked computation — pinned by
@@ -100,6 +101,12 @@ def build_gradcache_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer
         raise ValueError(f"num_chunks must be >= 1, got {num_chunks}")
     _check_hooks(hooks)
     axis_name = "data" if mesh is not None else None
+    if mesh is not None:
+        for h in hooks:
+            if not hasattr(h, "_shard_criterion"):
+                raise NotImplementedError(
+                    f"mesh grad_cache needs the hook's per-shard criterion "
+                    f"(_shard_criterion); {type(h).__name__} lacks one")
 
     def _chunked(tree):
         def split(a):
@@ -168,29 +175,6 @@ def build_gradcache_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer
                     + jnp.arange(n_local, dtype=jnp.int32))
         return label_from_contrast_on(meta_ctx, h.contrast_on)
 
-    def _mesh_criterion(h, z1, z2, target, valid, scalars):
-        """The hook's criterion, called with PER-SHARD rows inside shard_map
-        (hooks/infonce.py _criterion wraps its own shard_map for the GSPMD
-        monolithic path and cannot be nested here). Dispatch mirrors
-        INFONCEHook/SelfPacedINFONCEHook._criterion exactly."""
-        from ..parallel.contrastive import (global_self_paced_supcon,
-                                            sharded_self_paced_supcon)
-        self_paced = "gamma" in scalars
-        gamma = scalars["gamma"] if self_paced else 1e9
-        mode = getattr(h, "mode", "hard") if self_paced else "hard"
-        cg = getattr(h, "correct_grad", False) if self_paced else False
-        fn = (sharded_self_paced_supcon if h.global_contrast == "row_sharded"
-              else global_self_paced_supcon)
-        loss, ratio = fn(z1, z2, target, valid.astype(jnp.float32),
-                         gamma=gamma, axis_name=axis_name,
-                         temperature=h.temperature, weight_update=mode,
-                         correct_grad=cg,
-                         use_fused=(None if h.use_fused == "auto"
-                                    else bool(h.use_fused)))
-        if self_paced:
-            return loss, {"loss": loss, "sp_weight": ratio, "age_param": gamma}
-        return loss, {"loss": loss}
-
     def _loss_on_z(zs, meta_ctx, hook_scalars):
         """Everything downstream of the embeddings — identical math to the
         monolithic step's hook loss (hooks/infonce.py loss_fn)."""
@@ -204,8 +188,13 @@ def build_gradcache_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer
                 loss, m = h._criterion(z1, z2, target, meta_ctx["valid"],
                                        scalars, meta_ctx)
             else:
-                loss, m = _mesh_criterion(h, z1, z2, target,
-                                          meta_ctx["valid"], scalars)
+                # per-shard rows inside shard_map: the hook's own per-shard
+                # dispatch (hooks/infonce.py::_shard_criterion — the
+                # monolithic path's _criterion wraps its own shard_map and
+                # cannot be nested here)
+                loss, m = h._shard_criterion(z1, z2, target,
+                                             meta_ctx["valid"], scalars,
+                                             axis_name)
             total = total + h.weight * loss
             metrics[h.name] = m
         return total, metrics
@@ -223,7 +212,7 @@ def build_gradcache_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer
     def _cached_grads(params, stats, batch, key, hook_scalars):
         """Passes A + loss + B: same value/grads as
         jax.value_and_grad(_forward_loss) at one-chunk activation memory.
-        Under a mesh: per-chip chunk VJPs, then one grad psum + stats pmean."""
+        Under a mesh: per-chip chunk VJPs, then one grad pmean + stats pmean."""
         k_aug, k_flip, _ = jax.random.split(_fold_axis(key), 3)
         zs, new_stats = _embeddings(params, stats, batch, k_aug, k_flip)
         (loss, metrics), dzs = jax.value_and_grad(
@@ -280,7 +269,7 @@ def build_gradcache_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer
         (full activation storage). Returns ((loss, (new_stats, metrics)), grads).
 
         Under a mesh the value_and_grad runs INSIDE the shard_map body with an
-        explicit grad psum — differentiating THROUGH a check_vma=False
+        explicit grad pmean — differentiating THROUGH a check_vma=False
         shard_map mis-transposes the criterion's psums, so the oracle uses the
         same per-shard-AD + psum placement the cached path uses; what differs
         (and is under test) is one-pass autodiff vs the two-pass cache."""
@@ -291,11 +280,14 @@ def build_gradcache_pretrain_step(model, hooks: Sequence[TrainerHook], optimizer
         from jax.sharding import PartitionSpec as P
 
         def body(params, stats, batch, key, scalars):
-            (loss, aux), grads = jax.value_and_grad(_forward_loss, has_aux=True)(
-                params, stats, batch, key, scalars)
-            # pmean for the same reason as _cached_grads: the per-shard AD
-            # carries an exact axis_size factor under check_vma=False
-            return (loss, aux), jax.lax.pmean(grads, axis_name)
+            (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+                _forward_loss, has_aux=True)(params, stats, batch, key, scalars)
+            # grad pmean for the same reason as _cached_grads (the per-shard
+            # AD carries an exact axis_size factor under check_vma=False);
+            # stats pmean because each chip chains its own BN stats and the
+            # P() out_spec promises a replicated value
+            return ((loss, (jax.lax.pmean(new_stats, axis_name), metrics)),
+                    jax.lax.pmean(grads, axis_name))
 
         sm = jax.shard_map(body, mesh=mesh,
                            in_specs=(P(), P(), P(axis_name), P(), P()),
@@ -361,6 +353,12 @@ def _wrap_mesh_step(step_body, store: Optional[DeviceStore], mesh):
     def epoch_step(state, epoch_idx, hook_scalars):
         return jit_epoch(state, epoch_idx, hook_scalars, arrays)
 
+    def raw_step(state, batch, key, hook_scalars, store_arrays=None):
+        # unjitted shard_map body for lax.scan'ed multi-step drivers —
+        # wrap_pretrain_style_step call-surface parity
+        return sm_batch(state, batch, key, hook_scalars, store_arrays)
+
+    step.raw = raw_step
     step.epoch_step = epoch_step
     step.store_arrays = arrays
     return step, arrays
