@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""The paper's-effect demonstration on the constructed hard synthetic regime
+(VERDICT r4 item 2).
+
+Claims measured (>=3 seeds each, means +/- std over seeds):
+  (a) finetune from SP-InfoNCE pretraining beats training from scratch at
+      low labels (labeled_scan_num=2 of 20);
+  (b) with corrupted contrastive meta-labels, SELF-PACED InfoNCE pretraining
+      beats plain InfoNCE pretraining (the reference's motivation:
+      contrast_loss3.py:113-222 — downweight unreliable positives).
+
+Dataset: data/packing.py::synthetic_dataset_hard — per-scan style variance,
+low contrast, and distractor blobs disambiguated only by the z-level shape
+prior that contrast-on-partition pretraining teaches.
+
+Runs on CPU (each arm is an independent process; use --arm/--seed for one
+run, no flag to orchestrate everything, --collect to build the table).
+Results: runs/effect_study/*.json + the RESULTS.md table.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+OUT = ROOT / "runs" / "effect_study"
+SEEDS = (10, 20, 30)
+CORRUPT = 0.8
+
+# small-but-not-saturating budget (calibrated; see RESULTS.md)
+CANVAS, CROP = 64, 48
+PRE_EPOCHS, PRE_BATCHES = 10, 30
+FT_EPOCHS, FT_BATCHES = 12, 30
+LABELED_SCANS = 2
+
+
+def _data_block(meta_corrupt=0.0):
+    return {"name": "acdc", "synthetic": "hard", "canvas": CANVAS,
+            "crop": CROP, "synthetic_scans": 20, "synthetic_test_scans": 8,
+            "labeled_scan_num": LABELED_SCANS,
+            "meta_corrupt": float(meta_corrupt)}
+
+
+def _arch_block():
+    return {"input_dim": 1, "num_classes": 4, "max_channel": 128,
+            "dtype": "float32"}
+
+
+def pretrain_config(seed, sp, corrupt, save_dir):
+    hook_block = {"feature_names": "Conv5", "weights": 1.0,
+                  "contrast_ons": "partition", "temperature": 0.07}
+    cfg = {
+        "RandomSeed": seed,
+        "Arch": _arch_block(),
+        "Data": _data_block(meta_corrupt=corrupt),
+        "Optim": {"name": "adam", "lr": 1e-3},
+        "ContrastiveLoaderParams": {"scan_sample_num": 10,
+                                    "partition_sample_num": 1},
+        "Trainer": {"name": "pretrain_encoder", "max_epoch": PRE_EPOCHS,
+                    "num_batches": PRE_BATCHES, "save_dir": save_dir},
+    }
+    if sp:
+        cfg["SPInfonceParams"] = dict(hook_block, begin_values=3,
+                                      end_values=14, p=0.5, mode="hard")
+    else:
+        cfg["InfonceParams"] = hook_block
+    return cfg
+
+
+def finetune_config(seed, ckpt, save_dir):
+    cfg = {
+        "RandomSeed": seed,
+        "Arch": dict(_arch_block(), checkpoint=ckpt),
+        "Data": _data_block(),
+        "Optim": {"name": "adam", "lr": 1e-3},
+        "LabeledLoader": {"batch_size": 8},
+        "UnlabeledLoader": {"batch_size": 8},
+        "Trainer": {"name": "finetune", "max_epoch": FT_EPOCHS,
+                    "num_batches": FT_BATCHES, "save_dir": save_dir},
+    }
+    return cfg
+
+
+ARMS = {
+    # (a): pretrain > scratch at low labels
+    "scratch": dict(pre=None),
+    "sp_clean": dict(pre=dict(sp=True, corrupt=0.0)),
+    # (b): under corrupted meta-labels, SP > plain
+    "plain_corrupt": dict(pre=dict(sp=False, corrupt=CORRUPT)),
+    "sp_corrupt": dict(pre=dict(sp=True, corrupt=CORRUPT)),
+    # context: plain at clean meta-labels
+    "plain_clean": dict(pre=dict(sp=False, corrupt=0.0)),
+}
+
+
+def run_arm(arm: str, seed: int) -> dict:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from spcl_tpu.entry import build_trainer
+    from spcl_tpu.utils import fix_all_seed
+
+    spec = ARMS[arm]
+    base = OUT / f"{arm}_s{seed}"
+    t0 = time.time()
+    fix_all_seed(seed)
+    ckpt = None
+    pre_loss = None
+    if spec["pre"] is not None:
+        pcfg = pretrain_config(seed, spec["pre"]["sp"], spec["pre"]["corrupt"],
+                               str(base / "pre"))
+        tr = build_trainer(pcfg, save_dir=str(base / "pre"), pretrain=True)
+        tr.init()
+        tr.start_training()
+        hist = tr._storage.history
+        last = hist[max(hist)] if hist else {}
+        pre_loss = next((float(v) for k, v in last.items()
+                         if "reg_loss" in k), None)
+        ckpt = str(base / "pre" / "last.ckpt")
+    fcfg = finetune_config(seed, ckpt, str(base / "ft"))
+    tr = build_trainer(fcfg, save_dir=str(base / "ft"))
+    tr.init()
+    best = float(tr.start_training())
+    rec = {"arm": arm, "seed": seed, "best_val_dice": best,
+           "pretrain_loss": pre_loss, "wall_s": round(time.time() - t0, 1)}
+    OUT.mkdir(parents=True, exist_ok=True)
+    (OUT / f"{arm}_s{seed}.json").write_text(json.dumps(rec))
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def collect():
+    import numpy as np
+    rows = {}
+    for arm in ARMS:
+        vals = []
+        for seed in SEEDS:
+            p = OUT / f"{arm}_s{seed}.json"
+            if p.exists():
+                vals.append(json.loads(p.read_text())["best_val_dice"])
+        if vals:
+            rows[arm] = (float(np.mean(vals)), float(np.std(vals)), len(vals))
+    print(json.dumps({k: {"mean": round(m, 4), "std": round(s, 4), "n": n}
+                      for k, (m, s, n) in rows.items()}, indent=1))
+    if "scratch" in rows and "sp_clean" in rows:
+        print(f"(a) sp_clean - scratch = "
+              f"{rows['sp_clean'][0] - rows['scratch'][0]:+.4f}")
+    if "plain_corrupt" in rows and "sp_corrupt" in rows:
+        print(f"(b) sp_corrupt - plain_corrupt = "
+              f"{rows['sp_corrupt'][0] - rows['plain_corrupt'][0]:+.4f}")
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arm", choices=sorted(ARMS))
+    ap.add_argument("--seed", type=int)
+    ap.add_argument("--collect", action="store_true")
+    ap.add_argument("--jobs", type=int, default=3)
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+    if args.collect:
+        collect()
+        return
+    if args.arm is not None:
+        run_arm(args.arm, args.seed if args.seed is not None else SEEDS[0])
+        return
+    # orchestrate: every (arm, seed) in its own process
+    todo = [(a, s) for a in ARMS for s in SEEDS
+            if args.force or not (OUT / f"{a}_s{s}.json").exists()]
+    OUT.mkdir(parents=True, exist_ok=True)
+    procs = []
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    while todo or procs:
+        while todo and len(procs) < args.jobs:
+            a, s = todo.pop(0)
+            log = open(OUT / f"{a}_s{s}.log", "w")
+            procs.append((a, s, subprocess.Popen(
+                [sys.executable, __file__, "--arm", a, "--seed", str(s)],
+                stdout=log, stderr=subprocess.STDOUT, env=env, cwd=str(ROOT)), log))
+            print(f"launched {a} seed={s}", flush=True)
+        time.sleep(5)
+        for item in list(procs):
+            a, s, p, log = item
+            if p.poll() is not None:
+                log.close()
+                print(f"done {a} seed={s} rc={p.returncode}", flush=True)
+                procs.remove(item)
+    collect()
+
+
+if __name__ == "__main__":
+    main()

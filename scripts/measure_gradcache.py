@@ -79,16 +79,19 @@ def measure(batch_slices, num_chunks, reps, warmup=2):
     try:
         step, state, dev_mat, dev_scal = build(batch_slices, num_chunks)
         for _ in range(warmup):
-            state, metrics = step.epoch_step(state, dev_mat, dev_scal)
+            state, _ = step.epoch_step(state, dev_mat, dev_scal)
         jax.block_until_ready(state)
-        holder = {"state": state}
+        holder = {"state": state, "metrics": None}
 
         def run_one():
-            holder["state"], _ = step.epoch_step(holder["state"], dev_mat, dev_scal)
+            holder["state"], holder["metrics"] = step.epoch_step(
+                holder["state"], dev_mat, dev_scal)
             return holder["state"]
 
         ms = profile_device_time(run_one, reps=reps)
-        loss = float(jax.device_get(metrics["reg_loss"]))
+        # loss from a TIMED step (ADVICE r4: the warmup read was unbound
+        # with warmup=0 and stale otherwise)
+        loss = float(jax.device_get(holder["metrics"]["reg_loss"]))
         assert np.isfinite(loss), loss
         out = {"label": label, "ms_per_step": ms,
                "slices_per_sec": round(batch_slices * 1000.0 / ms, 1) if ms else None,

@@ -2,7 +2,8 @@ from .dataset import SliceDataset, extract_sub_dataset_based_on_scan_names, scan
 from .samplers import (InfiniteRandomSampler, ScanBatchSampler, ContrastBatchSampler,
                        LimitedIterationSampler, SequentialBatchSampler)
 from .loader import HostLoader, device_prefetch
-from .packing import pack_png_folder, synthetic_dataset
+from .packing import (corrupt_meta_labels, pack_png_folder, synthetic_dataset,
+                      synthetic_dataset_hard)
 from .creator import get_data, split_dataset, split_dataset_with_predefined_filenames, create_contrastive_loader
 
 __all__ = [

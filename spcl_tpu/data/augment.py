@@ -322,6 +322,14 @@ def apply_geometric(image: jnp.ndarray, label: Optional[jnp.ndarray],
         md = 45.0 if max_degrees is None else float(max_degrees)
         blk = _warp_block() if block is None else int(block)
         b = image.shape[0]
+        if blk > 0 and b > blk and b % blk:
+            # Indivisible batch: fall back to the largest divisor of b that
+            # still fits the lane budget, rather than silently running the
+            # slow unblocked shape (ADVICE r4). Tiny blocks (<8) would turn
+            # lax.map into a long scalar-ish loop — skip blocking there.
+            blk = max((d for d in range(1, blk + 1) if b % d == 0))
+            if blk < 8:
+                blk = 0
         if blk > 0 and b > blk and b % blk == 0:
             # Batch-blocked warp: the shear/canvas ops are lane-efficient only
             # while the batch fits the 128-wide lane dimension — measured

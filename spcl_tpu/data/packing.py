@@ -158,3 +158,116 @@ def synthetic_dataset(name: str = "acdc", num_scans: int = 10,
             labs.append(lab)
     return SliceDataset(name=name, images=np.stack(imgs), labels=np.stack(labs),
                         filenames=stems)
+
+
+def _ellipse(yy, xx, cy, cx, ry, rx, theta):
+    """Rotated-ellipse mask."""
+    ct, st = np.cos(theta), np.sin(theta)
+    u = (yy - cy) * ct + (xx - cx) * st
+    v = -(yy - cy) * st + (xx - cx) * ct
+    return (u / ry) ** 2 + (v / rx) ** 2 < 1.0
+
+
+def synthetic_dataset_hard(name: str = "acdc", num_scans: int = 10,
+                           slices_per_scan: Tuple[int, int] = (8, 12),
+                           canvas: int = 64, seed: int = 0,
+                           mode: str = "train") -> SliceDataset:
+    """A synthetic regime that does NOT saturate from scratch at low labels
+    (VERDICT r4 item 2) — built so the contrastive meta-labels carry the
+    missing information, mirroring why the paper's pretraining helps on ACDC:
+
+    - The anatomy level z (== the partition meta-label) is readable from the
+      global appearance: a "body" ellipse whose width tracks z.
+    - The target is an ellipse whose ORIENTATION and ECCENTRICITY are smooth,
+      scan-invariant functions of z (nested class rings inside, as the easy
+      regime). 1-3 DISTRACTOR blobs share its intensity but have random
+      shape parameters: a model must hold the z -> shape prior to tell them
+      apart — exactly what contrast-on-partition pretraining teaches.
+    - Heavy per-scan style variance (gain/offset, noise level, low-frequency
+      bias field) and low target contrast, so a few labeled scans don't
+      cover the style distribution.
+    """
+    spec = DATASET_SPECS[name]
+    rng = np.random.default_rng(seed + (0 if mode == "train" else 100))
+    num_classes = spec["num_classes"]
+    stems, imgs, labs = [], [], []
+    yy, xx = np.mgrid[0:canvas, 0:canvas].astype(np.float64)
+    boost = 0.16
+    for s in range(num_scans):
+        n_slices = int(rng.integers(slices_per_scan[0], slices_per_scan[1] + 1))
+        if name == "acdc":
+            scan = f"patient{s:03d}_{rng.integers(0, 2):02d}"
+        elif name == "prostate":
+            scan = f"Case{s:02d}"
+        elif name == "prostate_md":
+            scan = f"prostate_{s:02d}"
+        else:
+            scan = f"{1000 + s}"
+        # per-scan style
+        gain = rng.uniform(0.7, 1.3)
+        offset = rng.uniform(-0.08, 0.08)
+        noise_std = rng.uniform(0.06, 0.13)
+        gy, gx = rng.uniform(-0.12, 0.12, 2)          # bias-field gradient
+        body_cx = rng.uniform(0.42, 0.58) * canvas
+        body_cy = rng.uniform(0.42, 0.58) * canvas
+        tgt_dx = rng.uniform(-0.10, 0.10)             # target offset in body, per scan
+        tgt_dy = rng.uniform(-0.10, 0.10)
+        for i in range(n_slices):
+            z = i / max(n_slices - 1, 1)              # anatomy level in [0, 1]
+            # body width tracks z -> z is readable from any slice
+            body_rx = canvas * (0.24 + 0.18 * z)
+            body_ry = canvas * 0.38
+            body = _ellipse(yy, xx, body_cy, body_cx, body_ry, body_rx, 0.0)
+            # target: shape is a scan-invariant function of z
+            r = canvas * (0.10 + 0.03 * np.sin(2 * np.pi * z))
+            ecc = 0.45 + 0.45 * z                     # rx = ecc * ry
+            theta = (np.pi * 0.8) * z - np.pi * 0.4
+            cy = body_cy + tgt_dy * canvas + (z - 0.5) * 0.25 * canvas
+            cx = body_cx + tgt_dx * canvas
+            target = _ellipse(yy, xx, cy, cx, r, r * ecc, theta)
+            img = rng.normal(0.22, noise_std, (canvas, canvas))
+            img += gy * (yy / canvas - 0.5) + gx * (xx / canvas - 0.5)
+            img += body * 0.12 + target * boost
+            # distractors: same intensity, random shape params, inside body
+            for _ in range(int(rng.integers(1, 4))):
+                dr = canvas * rng.uniform(0.06, 0.13)
+                decc = rng.uniform(0.45, 0.95)
+                dth = rng.uniform(-np.pi / 2, np.pi / 2)
+                dcy = body_cy + rng.uniform(-0.25, 0.25) * canvas
+                dcx = body_cx + rng.uniform(-0.2, 0.2) * canvas
+                img += _ellipse(yy, xx, dcy, dcx, dr, dr * decc, dth) * boost
+            img = np.clip(img * gain + offset, 0.0, 1.0)
+            lab = np.zeros((canvas, canvas), np.uint8)
+            for c in range(1, num_classes):
+                frac = 1.0 - 0.25 * (c - 1)
+                lab[_ellipse(yy, xx, cy, cx, r * frac, r * ecc * frac, theta)] = c
+            stems.append(f"{scan}_{i:02d}")
+            imgs.append((img * 255).astype(np.uint8))
+            labs.append(lab)
+    return SliceDataset(name=name, images=np.stack(imgs), labels=np.stack(labs),
+                        filenames=stems)
+
+
+def corrupt_meta_labels(ds: SliceDataset, frac: float, seed: int = 0) -> SliceDataset:
+    """Randomize the contrastive meta-labels (partition + cycle) of a
+    fraction of slices IN PLACE on a copy — the paper's noisy-meta-label
+    regime (the reference's self-paced weighting exists to survive exactly
+    this, contrast_loss3.py:113-222). Segmentation labels are untouched."""
+    import copy
+
+    assert ds.root is ds, "corrupt the ROOT dataset (before subsetting) — " \
+                          "the DeviceStore packs root meta vectors"
+    out = copy.copy(ds)
+    rng = np.random.default_rng(seed)
+    n = len(ds.filenames)
+    pick = rng.random(n) < float(frac)
+    parts = ds.partitions.copy()
+    cycles = ds.cycles.copy()
+    n_part = int(ds.partitions.max()) + 1 if n else 1
+    parts[pick] = rng.integers(0, max(n_part, 1), int(pick.sum()))
+    if ds.cycles.max() > 0:
+        cycles[pick] = rng.integers(0, 2, int(pick.sum()))
+    out.partitions = parts
+    out.cycles = cycles
+    out.root = out  # corrupted vectors must be what the DeviceStore packs
+    return out

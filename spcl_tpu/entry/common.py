@@ -14,7 +14,8 @@ from ..configure.dictionary_utils import (dictionary_merge_by_hierachy,
                                           extract_params_with_key_prefix)
 from ..constants import DATASET_SPECS, data2class_numbers, data2input_dim
 from ..data import SliceDataset, create_contrastive_loader, get_data, synthetic_dataset
-from ..data.packing import load_packed
+from ..data.packing import (corrupt_meta_labels, load_packed,
+                            synthetic_dataset_hard)
 from ..hooks import create_hook_from_config, feature_until_from_hooks
 from ..models import UNet
 from ..models.masking import stages_from_range
@@ -62,16 +63,27 @@ def load_datasets_from_config(config: Dict) -> Tuple[SliceDataset, SliceDataset]
     data = config.get("Data", {})
     name = data.get("name", "acdc")
     canvas = int(data.get("canvas", 256))
-    cache_key = (name, canvas, bool(data.get("synthetic")),
+    synthetic = data.get("synthetic")
+    meta_corrupt = float(data.get("meta_corrupt", 0) or 0)
+    cache_key = (name, canvas, str(synthetic),
                  int(data.get("synthetic_scans", 20)),
-                 int(data.get("synthetic_test_scans", 8)), data.get("root"))
+                 int(data.get("synthetic_test_scans", 8)), data.get("root"),
+                 meta_corrupt)
     if cache_key in _DATASET_CACHE:
         return _DATASET_CACHE[cache_key]
-    if data.get("synthetic"):
-        tra = synthetic_dataset(name, num_scans=int(data.get("synthetic_scans", 20)),
-                                canvas=canvas, seed=0)
-        test = synthetic_dataset(name, num_scans=int(data.get("synthetic_test_scans", 8)),
-                                 canvas=canvas, seed=1, mode="val")
+    if synthetic:
+        # synthetic: true -> the easy blob fixture; "hard" -> the regime that
+        # does not saturate from scratch at low labels (packing.py,
+        # scripts/effect_study.py)
+        gen = synthetic_dataset_hard if str(synthetic).lower() == "hard" \
+            else synthetic_dataset
+        tra = gen(name, num_scans=int(data.get("synthetic_scans", 20)),
+                  canvas=canvas, seed=0)
+        test = gen(name, num_scans=int(data.get("synthetic_test_scans", 8)),
+                   canvas=canvas, seed=1, mode="val")
+        if meta_corrupt:
+            # fixed corruption seed: every arm sees the SAME noisy meta-labels
+            tra = corrupt_meta_labels(tra, meta_corrupt, seed=777)
     else:
         root = data.get("root")
         if not root:

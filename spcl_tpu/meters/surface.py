@@ -30,21 +30,28 @@ def _surface_distances(result: np.ndarray, reference: np.ndarray,
 
 
 def hausdorff_distance(result, reference, voxelspacing=None, percentile: float = 100.0) -> float:
+    """percentile=100 -> HD (max over both directions). percentile<100 ->
+    the reference's `mod_hausdorff_distance` convention: the MAX of the two
+    per-direction percentiles (contrastyou/meters/surface_distance.py:17-25)
+    — NOT medpy's hd95, which percentiles the concatenation."""
     d1 = _surface_distances(result, reference, voxelspacing)
     d2 = _surface_distances(reference, result, voxelspacing)
     if np.isnan(d1).any() or np.isnan(d2).any():
         return float("nan")
     if percentile >= 100.0:
         return float(max(d1.max(), d2.max()))
-    return float(np.percentile(np.hstack([d1, d2]), percentile))
+    return float(max(np.percentile(d1, percentile), np.percentile(d2, percentile)))
 
 
 def average_surface_distance(result, reference, voxelspacing=None) -> float:
+    """medpy `assd` semantics (the reference delegates to it,
+    surface_distance.py:28-29): the mean of the two DIRECTIONAL means —
+    not the mean of the concatenated distances."""
     d1 = _surface_distances(result, reference, voxelspacing)
     d2 = _surface_distances(reference, result, voxelspacing)
     if np.isnan(d1).any() or np.isnan(d2).any():
         return float("nan")
-    return float(np.hstack([d1, d2]).mean())
+    return float((d1.mean() + d2.mean()) / 2.0)
 
 
 class SurfaceMeter(Metric):
@@ -65,22 +72,27 @@ class SurfaceMeter(Metric):
     def reset(self):
         self._values: List[np.ndarray] = []
 
-    def _compute(self, pred: np.ndarray, target: np.ndarray) -> np.ndarray:
+    def _compute(self, pred: np.ndarray, target: np.ndarray,
+                 voxelspacing=None) -> np.ndarray:
         vals = []
         for c in self._report_axis:
             p, t = pred == c, target == c
             if self._metername == "hausdorff":
-                vals.append(hausdorff_distance(p, t))
+                vals.append(hausdorff_distance(p, t, voxelspacing))
             elif self._metername == "hausdorff95":
-                vals.append(hausdorff_distance(p, t, percentile=95.0))
+                vals.append(hausdorff_distance(p, t, voxelspacing, percentile=95.0))
             else:
-                vals.append(average_surface_distance(p, t))
+                vals.append(average_surface_distance(p, t, voxelspacing))
         return np.asarray(vals, dtype=np.float64)
 
     def _add(self, pred_labels: np.ndarray, target_labels: np.ndarray,
-             group_name: Union[str, None] = None):
-        """pred/target: [D, H, W] (a whole scan) or [H, W] int label maps."""
-        self._values.append(self._compute(np.asarray(pred_labels), np.asarray(target_labels)))
+             group_name: Union[str, None] = None, voxelspacing=None):
+        """pred/target: [D, H, W] (a whole scan) or [H, W] int label maps.
+        `voxelspacing` (reference surface_meter.py add(): per-dim mm) scales
+        distances for anisotropic scans."""
+        self._values.append(self._compute(np.asarray(pred_labels),
+                                          np.asarray(target_labels),
+                                          voxelspacing))
 
     def _summary(self) -> Dict[str, float]:
         if not self._values:

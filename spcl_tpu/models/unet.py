@@ -12,7 +12,9 @@ for XLA rather than translated:
 - ``set_grad`` stage ranges (reference unet.py:242-259) become parameter
   masks applied to gradients (spcl_tpu/models/masking.py) — a functional
   equivalent that composes with optax.
-- BatchNorm uses flax mutable batch_stats with optional ``axis_name`` so
+- BatchNorm is torch-convention (``models/norm.py::TorchBatchNorm``:
+  unbiased running-var updates, so reference checkpoints stay eval-exact)
+  on flax mutable batch_stats with optional ``axis_name`` so
   running statistics are correct under data parallelism (a capability the
   reference never had); ``set_bn_track`` (reference unet.py:261-287)
   corresponds to calling with ``update_bn_stats=False``.
@@ -28,6 +30,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from .norm import TorchBatchNorm
 
 ENCODER_NAMES: Tuple[str, ...] = ("Conv1", "Conv2", "Conv3", "Conv4", "Conv5")
 DECODER_NAMES: Tuple[str, ...] = ("Up5", "Up_conv5", "Up4", "Up_conv4", "Up3", "Up_conv3",
@@ -107,12 +111,11 @@ class ConvBlock(nn.Module):
             else:
                 x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=False,
                             dtype=self.dtype, name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=1.0 - self.momentum, dtype=self.dtype,
-                             axis_name=self.axis_name if train else None,
-                             use_fast_variance=True,  # one-pass stats (E[x^2]-mean^2): same math as torch BN, ~2x cheaper reductions
-                             axis=1 if nchw else -1,
-                             name=f"bn{i}")(x)
+            x = TorchBatchNorm(use_running_average=not train,
+                               momentum=1.0 - self.momentum, dtype=self.dtype,
+                               axis_name=self.axis_name if train else None,
+                               axis=1 if nchw else -1,
+                               name=f"bn{i}")(x)
             x = nn.relu(x)
         return x
 
@@ -130,9 +133,9 @@ class UpConv(nn.Module):
         x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
         x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=1.0 - self.momentum,
-                         dtype=self.dtype, use_fast_variance=True,  # one-pass stats (E[x^2]-mean^2): same math as torch BN, ~2x cheaper reductions
-                         axis_name=self.axis_name if train else None, name="bn")(x)
+        x = TorchBatchNorm(use_running_average=not train, momentum=1.0 - self.momentum,
+                           dtype=self.dtype,
+                           axis_name=self.axis_name if train else None, name="bn")(x)
         return nn.relu(x)
 
 

@@ -30,7 +30,7 @@ def device_ms_per_step(trace_dir: str, calls: Optional[int] = None) -> Optional[
     except Exception:
         return None
     total, count = 0.0, 0
-    module_total = 0.0
+    module_total, module_planes = 0.0, 0
     for p in glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True):
         xs = xplane_pb2.XSpace()
         try:
@@ -40,16 +40,23 @@ def device_ms_per_step(trace_dir: str, calls: Optional[int] = None) -> Optional[
         for plane in xs.planes:
             if not plane.name.startswith("/device:TPU"):
                 continue
+            plane_modules = 0.0
             for line in plane.lines:
                 if line.name == "Steps" and line.events:
                     total += sum(e.duration_ps for e in line.events) / 1e12
                     count += len(line.events)
                 elif line.name == "XLA Modules" and line.events:
-                    module_total += sum(e.duration_ps for e in line.events) / 1e12
+                    plane_modules += sum(e.duration_ps for e in line.events) / 1e12
+            if plane_modules:
+                module_total += plane_modules
+                module_planes += 1
     if count:
         return total / count * 1e3
     if calls and module_total:
-        return module_total / calls * 1e3
+        # Each chip's plane carries its own module events for the SAME step —
+        # normalize by contributing planes so multi-chip traces don't
+        # over-report by n_chips (ADVICE r4), mirroring the Steps path.
+        return module_total / module_planes / calls * 1e3
     return None
 
 

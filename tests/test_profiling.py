@@ -52,6 +52,18 @@ def test_module_fallback_needs_calls(tmp_path):
     assert device_ms_per_step(d, calls=20) == pytest.approx(1.0)
 
 
+def test_module_fallback_normalizes_per_plane(tmp_path):
+    """On a multi-chip trace every chip's plane carries module events for the
+    SAME step — the fallback must not over-report by n_chips (ADVICE r4)."""
+    d = _write_space(tmp_path, [
+        ("/device:TPU:0", [("XLA Modules", [1e9] * 10)]),
+        ("/device:TPU:1", [("XLA Modules", [1e9] * 10)]),
+        ("/device:TPU:2", [("XLA Modules", [1e9] * 10)]),
+        ("/device:TPU:3", [("XLA Modules", [1e9] * 10)]),
+    ])
+    assert device_ms_per_step(d, calls=10) == pytest.approx(1.0)
+
+
 def test_non_tpu_planes_ignored(tmp_path):
     d = _write_space(tmp_path, [
         ("/host:CPU", [("Steps", [7e9]), ("XLA Modules", [7e9])]),

@@ -1,0 +1,202 @@
+"""MODEL-level parity against the reference's own executed torch UNet
+(VERDICT r4 item 1 — closes the bit-matched-Dice chain at the model level).
+
+The reference UNet (/root/reference/semi_seg/arch/unet.py:100-297) runs in
+CI via the same shim pattern as tests/test_reference_parity.py; one set of
+torch weights is transplanted through models/torch_import.py into
+models/unet.py::UNet and the two nets are asserted equal:
+
+- eval-mode logits at the production 224x224 / max_channel=256 shape,
+- every `until=` partial forward (pins pooling, nearest-upsample and the
+  (skip, up) concat order),
+- train-mode outputs AND BatchNorm running-stat updates across a step
+  (torch's unbiased running-var convention — models/norm.py),
+- the .pth -> warm-start importer end to end (scripts/import_torch_checkpoint.py
+  against a "_model"-keyed trainer checkpoint, loaded back through
+  training/checkpoint.py::load_model_params), plus a bitwise round trip.
+"""
+import importlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spcl_tpu.models.torch_import import (flax_from_torch_state_dict,
+                                          torch_state_dict_from_flax,
+                                          write_warm_start)
+from spcl_tpu.models.unet import UNet
+
+REF_ARCH = "/root/reference/semi_seg/arch"
+
+
+@pytest.fixture(scope="module")
+def ref_unet_cls():
+    torch = pytest.importorskip("torch")
+    if "loguru" not in sys.modules:
+        loguru = types.ModuleType("loguru")
+
+        class _Logger:
+            def __getattr__(self, name):
+                return lambda *a, **k: self if name == "opt" else None
+
+            def opt(self, *a, **k):
+                return self
+
+            def trace(self, *a, **k):
+                return None
+
+        loguru.logger = _Logger()
+        sys.modules["loguru"] = loguru
+    if "ref_arch" not in sys.modules:
+        pkg = types.ModuleType("ref_arch")
+        pkg.__path__ = [REF_ARCH]
+        sys.modules["ref_arch"] = pkg
+    return importlib.import_module("ref_arch.unet").UNet
+
+
+def _make_torch_net(ref_unet_cls, *, input_dim=1, num_classes=4,
+                    max_channel=128, seed=0):
+    """Reference net with every buffer/affine randomized so eval-mode
+    parity actually exercises running stats, not the 0/1 defaults."""
+    import torch
+    torch.manual_seed(seed)
+    net = ref_unet_cls(input_dim=input_dim, num_classes=num_classes,
+                       max_channel=max_channel)
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0.0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0.0, 0.2)
+    return net
+
+
+def _transplant(net):
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = flax_from_torch_state_dict(sd)
+    return {"params": params, "batch_stats": stats}
+
+
+def _flax_net(net):
+    return UNet(input_dim=net._input_dim, num_classes=net._num_classes,
+                max_channel=net._max_channel)
+
+
+def _nchw(x_nhwc):
+    return np.transpose(np.asarray(x_nhwc), (0, 3, 1, 2))
+
+
+@pytest.mark.slow
+def test_eval_logits_match_at_production_shape(ref_unet_cls):
+    """224x224, max_channel=256, input_dim=1, num_classes=4 — the ACDC
+    production configuration (reference config/base.yaml)."""
+    import torch
+    net = _make_torch_net(ref_unet_cls, max_channel=256, seed=1).eval()
+    x = np.random.RandomState(0).randn(2, 1, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    ours = _flax_net(net).apply(_transplant(net),
+                                jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                                train=False)["logits"]
+    np.testing.assert_allclose(_nchw(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("until", ["Conv1", "Conv3", "Conv5", "Up_conv5",
+                                   "Up_conv3", "Up_conv2"])
+def test_partial_forward_matches(ref_unet_cls, until):
+    import torch
+    net = _make_torch_net(ref_unet_cls, seed=2).eval()
+    x = np.random.RandomState(1).randn(2, 1, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x), until=until).numpy()
+    acts = _flax_net(net).apply(_transplant(net),
+                                jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                                train=False, until=until)
+    np.testing.assert_allclose(_nchw(acts[until]), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_train_mode_outputs_and_running_stats_match(ref_unet_cls):
+    """One train-mode forward: batch-stat normalization, plus the running
+    mean/var updates (torch updates var with the UNBIASED batch variance —
+    models/norm.py pins that convention)."""
+    import torch
+    net = _make_torch_net(ref_unet_cls, seed=3).train()
+    x = np.random.RandomState(2).randn(4, 1, 64, 64).astype(np.float32)
+    fnet = _flax_net(net)
+    variables = _transplant(net)  # BEFORE the torch forward mutates running stats
+    ref = net(torch.from_numpy(x)).detach().numpy()
+    ours, mutated = fnet.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                               train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(_nchw(ours["logits"]), ref, rtol=1e-4, atol=1e-4)
+
+    # running stats after the step, every BN in the net
+    _, want = flax_from_torch_state_dict(
+        {k: v.detach().numpy() for k, v in net.state_dict().items()})
+    got = jax.tree_util.tree_map(np.asarray, mutated["batch_stats"])
+    flat_w = dict(jax.tree_util.tree_flatten_with_path(want)[0])
+    flat_g = dict(jax.tree_util.tree_flatten_with_path(got)[0])
+    assert flat_w.keys() == flat_g.keys() and len(flat_w) == 22 * 2  # 9 ConvBlocks x2 BN + 4 UpConvs x1 BN
+    for k in flat_w:
+        np.testing.assert_allclose(flat_g[k], flat_w[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=str(k))
+
+
+def test_state_dict_round_trip(ref_unet_cls):
+    net = _make_torch_net(ref_unet_cls, seed=4)
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = flax_from_torch_state_dict(sd)
+    back = torch_state_dict_from_flax(params, stats)
+    assert set(back) == set(sd)
+    for k in sd:
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_importer_cli_feeds_warm_start(ref_unet_cls, tmp_path):
+    """scripts/import_torch_checkpoint.py on a '_model'-keyed trainer
+    checkpoint -> load_model_params -> eval logits still match torch."""
+    import torch
+
+    from scripts.import_torch_checkpoint import main as import_main
+    from spcl_tpu.training.checkpoint import load_model_params
+
+    net = _make_torch_net(ref_unet_cls, seed=5).eval()
+    src = tmp_path / "ref.pth"
+    dst = tmp_path / "warm.ckpt"
+    torch.save({"_model": net.state_dict(), "_optimizer": {"ignored": 1}}, src)
+    import_main([str(src), str(dst)])
+
+    fnet = _flax_net(net)
+    x = np.random.RandomState(3).randn(2, 1, 64, 64).astype(np.float32)
+    template = fnet.init(jax.random.PRNGKey(0),
+                         jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+    params, stats = load_model_params(
+        str(dst), {"params": template["params"],
+                   "batch_stats": template["batch_stats"]})
+    ours = fnet.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                      train=False)["logits"]
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(_nchw(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_write_warm_start_matches_transplant(ref_unet_cls, tmp_path):
+    from spcl_tpu.training.checkpoint import load_model_params
+
+    net = _make_torch_net(ref_unet_cls, seed=6)
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, stats = flax_from_torch_state_dict(sd)
+    path = tmp_path / "w.ckpt"
+    write_warm_start(str(path), params, stats)
+    p2, s2 = load_model_params(str(path), {"params": params, "batch_stats": stats})
+    for a, b in zip(jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s2), jax.tree_util.tree_leaves(stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -160,3 +160,22 @@ def test_blocked_warp_identical(monkeypatch):
     monkeypatch.setenv("SPCL_WARP_BLOCK", "5")
     i2, _ = apply_geometric(img, lab, params, 24, False, 30.0, backend="mxu")
     np.testing.assert_allclose(np.asarray(i0), np.asarray(i2), rtol=1e-6, atol=1e-6)
+
+
+def test_blocked_warp_indivisible_divisor_fallback(monkeypatch):
+    """b not divisible by the block: blocking engages at the largest divisor
+    <= block instead of silently running unblocked (ADVICE r4); results are
+    identical either way. A prime batch (no divisor >= 8) skips blocking."""
+    s = 32
+    rng = np.random.RandomState(1)
+    pol = AugmentPolicy(crop=24, rot_degrees=30.0, hflip=True, jitter=False)
+    for bb in (24, 13):  # 24 @ blk16 -> blocks of 12; 13 is prime -> unblocked
+        img = jnp.asarray(rng.rand(bb, s, s, 1).astype(np.float32))
+        lab = jnp.asarray((rng.rand(bb, s, s) * 3).astype(np.int32))
+        params = sample_geometric(jax.random.PRNGKey(3), bb, pol, s, None)
+        monkeypatch.setenv("SPCL_WARP_BLOCK", "0")
+        i0, l0 = apply_geometric(img, lab, params, 24, False, 30.0, backend="mxu")
+        monkeypatch.setenv("SPCL_WARP_BLOCK", "16")
+        i1, l1 = apply_geometric(img, lab, params, 24, False, 30.0, backend="mxu")
+        np.testing.assert_allclose(np.asarray(i0), np.asarray(i1), rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
