@@ -34,8 +34,8 @@ CORRUPT = 0.8
 
 # small-but-not-saturating budget (calibrated; see RESULTS.md)
 CANVAS, CROP = 64, 48
-PRE_EPOCHS, PRE_BATCHES = 10, 30
-FT_EPOCHS, FT_BATCHES = 12, 30
+PRE_EPOCHS, PRE_BATCHES = 15, 30
+FT_EPOCHS, FT_BATCHES = 25, 30
 LABELED_SCANS = 2
 
 

@@ -37,11 +37,14 @@ class DeviceStore:
         # multi-chip: the store replicates over the mesh (every chip gathers
         # its batch shard from its own copy; the datasets are small — ACDC
         # packed ~125MB — so replication beats a sharded store + collective)
-        dev = None
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            dev = NamedSharding(mesh, PartitionSpec())
-        put = lambda x: jax.device_put(x, dev)  # noqa: E731
+            # multi-host safe replication (parallel/mesh.py::put_tree): each
+            # process only materializes its addressable replicas
+            from jax.sharding import PartitionSpec
+            from ..parallel import put_tree
+            put = lambda x: put_tree(x, mesh, PartitionSpec())  # noqa: E731
+        else:
+            put = lambda x: jax.device_put(x)  # noqa: E731
         imgs = root.images if root.images.ndim == 4 else root.images[..., None]
         self.n = imgs.shape[0]
         self.images = put(imgs)              # uint8 [N,H,W,C]

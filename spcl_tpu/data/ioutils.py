@@ -53,11 +53,92 @@ def check_integrity(path: str | Path, md5: Optional[str] = None) -> bool:
     return md5 is None or calculate_md5(p) == md5.lower()
 
 
+def _gdrive_file_id(url: str) -> Optional[str]:
+    import re
+    for pat in (r"[?&]id=([\w-]+)", r"/file/d/([\w-]+)", r"/uc\?.*id=([\w-]+)"):
+        m = re.search(pat, url)
+        if m:
+            return m.group(1)
+    return None
+
+
+def _parse_gdrive_confirm_form(html: str):
+    """(action_url, params) of Drive's 'can't scan for viruses' interstitial.
+    Modern Drive serves a <form action=...usercontent...> whose hidden inputs
+    (id/export/confirm/uuid...) must be echoed back; older flows instead set
+    a download_warning cookie handled by the caller."""
+    import re
+    m = re.search(r'<form[^>]+action="([^"]+)"', html)
+    if not m:
+        return None, {}
+    action = m.group(1).replace("&amp;", "&")
+    params = dict(re.findall(
+        r'<input[^>]+name="([^"]+)"[^>]+value="([^"]*)"', html))
+    return action, params
+
+
+def gdrive_opener(url: str, dest: Path, _base: Optional[str] = None) -> None:
+    """Google-Drive fetch with the confirm-token/cookie dance the reference
+    delegates to gdown (contrastyou/data/dataset/_ioutils.py:39-63) —
+    large files get an HTML interstitial instead of bytes; the real download
+    needs the hidden-form params (or the legacy download_warning cookie)
+    echoed back on a cookie-carrying session.
+
+    `_base` overrides the drive host for tests (a local fixture server
+    mimicking the redirect flow, tests/test_ioutils.py)."""
+    import http.cookiejar
+    import urllib.parse
+
+    file_id = _gdrive_file_id(url)
+    base = _base or "https://drive.google.com"
+    first = f"{base}/uc?export=download&id={file_id}" if file_id else url
+    jar = http.cookiejar.CookieJar()
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPCookieProcessor(jar))
+    opener.addheaders = [("User-Agent", "spcl_tpu/ioutils")]
+
+    def fetch(u):
+        return opener.open(u, timeout=60)
+
+    r = fetch(first)
+    ctype = r.headers.get("Content-Type", "")
+    if "text/html" not in ctype:
+        with r, open(dest, "wb") as f:
+            shutil.copyfileobj(r, f, _CHUNK)
+        return
+    html = r.read().decode("utf-8", "replace")
+    r.close()
+    # legacy cookie flow: retry the uc endpoint with &confirm=<token>
+    token = next((c.value for c in jar if c.name.startswith("download_warning")),
+                 None)
+    if token:
+        nxt = f"{first}&confirm={token}"
+    else:
+        action, params = _parse_gdrive_confirm_form(html)
+        if action is None:
+            raise RuntimeError(
+                f"Google Drive returned HTML without a confirm form for "
+                f"{url} — file may be private, removed, or quota-limited")
+        if _base and action.startswith("/"):
+            action = _base + action
+        nxt = action + ("&" if "?" in action else "?") + \
+            urllib.parse.urlencode(params)
+    r2 = fetch(nxt)
+    if "text/html" in r2.headers.get("Content-Type", ""):
+        r2.close()
+        raise RuntimeError(f"Google Drive confirm flow failed for {url}")
+    with r2, open(dest, "wb") as f:
+        shutil.copyfileobj(r2, f, _CHUNK)
+
+
 def default_opener(url: str, dest: Path) -> None:
-    """Plain-urllib fetch. Google-Drive links (the reference's hosting) need
-    a gdown-style opener on a networked host; this environment has zero
-    egress, so failures raise with a pointer to the offline path."""
+    """urllib fetch; Google-Drive links (the reference's hosting) route
+    through the confirm-token flow (`gdrive_opener`). This environment has
+    zero egress, so failures raise with a pointer to the offline path."""
     try:
+        if "drive.google.com" in url:
+            gdrive_opener(url, dest)
+            return
         with urllib.request.urlopen(url) as r, open(dest, "wb") as f:  # noqa: S310
             shutil.copyfileobj(r, f, _CHUNK)
     except Exception as e:  # pragma: no cover - network-dependent

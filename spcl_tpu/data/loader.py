@@ -46,7 +46,16 @@ class HostLoader:
 
 
 def device_prefetch(iterator: Iterator, depth: int = 2, device=None) -> Iterator:
-    """Asynchronously device_put `depth` batches ahead of consumption."""
+    """Asynchronously device_put `depth` batches ahead of consumption.
+
+    Multi-host: a NamedSharding `device` spanning non-addressable devices is
+    ingested shard-wise via parallel/mesh.py::put_tree (every process draws
+    the same global batch from its seed-deterministic loader)."""
+    put = jax.device_put
+    from jax.sharding import NamedSharding
+    if (jax.process_count() > 1 and isinstance(device, NamedSharding)):
+        from ..parallel.mesh import put_tree
+        put = lambda tree, sh: put_tree(tree, sh.mesh, sh.spec)  # noqa: E731
     q: "Queue" = Queue(maxsize=depth)
     stop = object()
 
@@ -55,9 +64,9 @@ def device_prefetch(iterator: Iterator, depth: int = 2, device=None) -> Iterator
             for item in iterator:
                 if isinstance(item, tuple):
                     batch, extra = item
-                    q.put((jax.device_put(batch, device), extra))
+                    q.put((put(batch, device), extra))
                 else:
-                    q.put(jax.device_put(item, device))
+                    q.put(put(item, device))
         finally:
             q.put(stop)
 

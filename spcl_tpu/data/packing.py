@@ -192,7 +192,7 @@ def synthetic_dataset_hard(name: str = "acdc", num_scans: int = 10,
     num_classes = spec["num_classes"]
     stems, imgs, labs = [], [], []
     yy, xx = np.mgrid[0:canvas, 0:canvas].astype(np.float64)
-    boost = 0.16
+    boost = 0.18
     for s in range(num_scans):
         n_slices = int(rng.integers(slices_per_scan[0], slices_per_scan[1] + 1))
         if name == "acdc":
@@ -219,7 +219,7 @@ def synthetic_dataset_hard(name: str = "acdc", num_scans: int = 10,
             body_ry = canvas * 0.38
             body = _ellipse(yy, xx, body_cy, body_cx, body_ry, body_rx, 0.0)
             # target: shape is a scan-invariant function of z
-            r = canvas * (0.10 + 0.03 * np.sin(2 * np.pi * z))
+            r = canvas * (0.15 + 0.04 * np.sin(2 * np.pi * z))
             ecc = 0.45 + 0.45 * z                     # rx = ecc * ry
             theta = (np.pi * 0.8) * z - np.pi * 0.4
             cy = body_cy + tgt_dy * canvas + (z - 0.5) * 0.25 * canvas
@@ -230,7 +230,7 @@ def synthetic_dataset_hard(name: str = "acdc", num_scans: int = 10,
             img += body * 0.12 + target * boost
             # distractors: same intensity, random shape params, inside body
             for _ in range(int(rng.integers(1, 4))):
-                dr = canvas * rng.uniform(0.06, 0.13)
+                dr = canvas * rng.uniform(0.08, 0.17)
                 decc = rng.uniform(0.45, 0.95)
                 dth = rng.uniform(-np.pi / 2, np.pi / 2)
                 dcy = body_cy + rng.uniform(-0.25, 0.25) * canvas

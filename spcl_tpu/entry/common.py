@@ -99,6 +99,11 @@ def build_trainer(config: Dict, *, save_dir: Optional[str] = None,
                   pretrain: bool = False):
     """Construct a fully wired (but not yet init'ed) trainer from a config."""
     from ..hooks.creator import LEGACY_TRAINER_PRESETS
+    from ..parallel import initialize_distributed
+
+    # multi-host wiring (no-op unless SPCL_COORDINATOR etc. are set); must
+    # run before the first backend touch, hence before Trainer.__init__
+    initialize_distributed()
 
     data_cfg = config.get("Data", {})
     trainer_cfg = config.get("Trainer", {})

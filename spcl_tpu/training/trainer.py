@@ -98,6 +98,7 @@ class Trainer:
         # psum + contrastive-embedding all_gather over ICI.
         self._mesh_spec = mesh
         self._mesh = None
+        self._mh_gather = None
         self._model = model
         self._labeled_loader = labeled_loader
         self._unlabeled_loader = unlabeled_loader
@@ -113,14 +114,22 @@ class Trainer:
         self._disable_bn = bool(disable_bn)
         self._hooks: List[TrainerHook] = []
         self._keychain = KeyChain(seed)
-        self._storage = Storage(save_dir=self._save_dir)
-        from ..writer import SummaryWriter
-        self._writer = SummaryWriter(log_dir=self._save_dir)
+        # Multi-host: every process trains (replicated state, sharded
+        # batches); only process 0 touches the filesystem — checkpoints,
+        # CSV storage, TB events, progress lines (reference _DDPMixin
+        # on_master gating, contrastyou/trainer/base.py:23-47).
+        from ..parallel import on_master
+        self._is_master = on_master()
+        self._storage = Storage(save_dir=self._save_dir if self._is_master
+                                else None)
+        from ..writer import NullWriter, SummaryWriter
+        self._writer = (SummaryWriter(log_dir=self._save_dir)
+                        if self._is_master else NullWriter())
         self._cur_epoch = 0
         self._best_score = -np.inf
         self._trainable_stages: Optional[List[str]] = None
         self.__initialized__ = False
-        if self._config:
+        if self._config and self._is_master:
             # config + git hash per run dir (reference trainer/_io.py:54-60,
             # contrastyou/__init__.py:10-17)
             from ..utils.utils import gethash
@@ -200,20 +209,37 @@ class Trainer:
         return np.concatenate([idx, pad], axis=-1)
 
     def _put_batch(self, tree, batch_dims: int = 1):
-        """device_put with axis-(batch_dims-1) data sharding under the mesh
-        (batch_dims=2: [num_batches, B] epoch matrices shard on axis 1)."""
+        """Host -> device with axis-(batch_dims-1) data sharding under the
+        mesh (batch_dims=2: [num_batches, B] epoch matrices shard on axis 1).
+        Multi-host safe: every process computes the same global batch (the
+        samplers are seed-deterministic) and ingests only its own shards
+        (parallel/mesh.py::put_tree)."""
         if self._mesh is None:
             return jax.device_put(tree)
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
+        from ..parallel import put_tree
         spec = P("data") if batch_dims == 1 else P(None, "data")
-        sh = NamedSharding(self._mesh, spec)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+        return put_tree(tree, self._mesh, spec)
 
     def _put_replicated(self, tree):
         if self._mesh is None:
             return jax.device_put(tree)
         from ..parallel import replicate
         return replicate(tree, self._mesh)
+
+    def _fetch(self, tree):
+        """device_get that works on multi-host meshes: step outputs may carry
+        batch-sharded leaves (per-slice dice stats, probe matrices) that are
+        not fully addressable from any one process — an identity jit with
+        replicated out_shardings all_gathers them first. Single-process:
+        plain device_get."""
+        if self._mesh is None or jax.process_count() == 1:
+            return jax.device_get(tree)
+        if self._mh_gather is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._mh_gather = jax.jit(
+                lambda t: t, out_shardings=NamedSharding(self._mesh, P()))
+        return jax.device_get(self._mh_gather(tree))
 
     def init(self) -> None:
         self._mesh = self._build_mesh()
@@ -355,7 +381,35 @@ class Trainer:
             _STEP_CACHE[key] = builder()
         else:
             logger.debug("reusing compiled %s step", flavor)
-        return _STEP_CACHE[key]
+        return self._mh_wrap_step(_STEP_CACHE[key], flavor)
+
+    def _mh_wrap_step(self, fn, tag: str):
+        """Multi-host only: barrier across processes before a step's FIRST
+        invocation. Host-side python/init skew between processes (config/TB
+        writes, dataset packing, earlier compiles) otherwise lets one
+        process EXECUTE a collective while a peer is still COMPILING the
+        same program — CPU-gloo context init gives up after 30s (observed).
+        After the barrier both processes compile the same program on
+        identical inputs, so residual skew is compile-time variance only.
+        Single-process: returned unchanged."""
+        if self._mesh is None or jax.process_count() == 1:
+            return fn
+        from ..parallel.mesh import host_barrier
+
+        def sync_first(f, t):
+            done = []
+
+            def wrapped(*args, **kwargs):
+                if not done:
+                    host_barrier(f"step:{t}")
+                    done.append(True)
+                return f(*args, **kwargs)
+            return wrapped
+
+        out = sync_first(fn, tag)
+        if hasattr(fn, "epoch_step"):
+            out.epoch_step = sync_first(fn.epoch_step, tag + ":epoch")
+        return out
 
     def _build_steps(self) -> None:
         num_classes = self._model.num_classes
@@ -430,7 +484,7 @@ class Trainer:
         # charges a round trip per buffer, so fetching N-step dicts separately
         # costs hundreds of RPCs
         metric_list = [m for m, _ in pending]
-        stacked = jax.device_get(jax.tree_util.tree_map(
+        stacked = self._fetch(jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *metric_list))
         for b, (_, token) in enumerate(pending):
             metrics = jax.tree_util.tree_map(lambda x: x[b], stacked)
@@ -454,7 +508,7 @@ class Trainer:
         batch index + dispatch rate. (On relayed backends the dispatch rate
         is an upper bound — the epoch summary carries the real one.)"""
         now = time.time()
-        if now - last[0] < period:
+        if now - last[0] < period or not self._is_master:
             return
         last[0] = now
         rate = (b + 1) / max(now - t0, 1e-9)
@@ -530,7 +584,7 @@ class Trainer:
             root = self._labeled_loader.dataset.root
             groups = [root.scan_names[i] if i >= 0 else "<pad>" for i in idx]
             return groups, (idx >= 0).astype(np.float32)
-        scan_idx, valid = jax.device_get(token)
+        scan_idx, valid = self._fetch(token)
         return self._labeled_groups({"scan_idx": scan_idx}), valid
 
     def _epoch_slices(self) -> int:
@@ -557,7 +611,7 @@ class Trainer:
                                 self._dispatch_batch(batch_u), key, scalars)
 
     def _consume_train_metrics(self, meters, metrics, groups, batch_l) -> None:
-        m = jax.device_get(metrics)
+        m = self._fetch(metrics)
         # reference raises immediately on NaN loss (contrast_loss3.py:108-109)
         if not np.isfinite(m["sup_loss"]) or not np.isfinite(m.get("reg_loss", 0.0)):
             raise RuntimeError(f"non-finite loss at step {int(self._state.step)}: "
@@ -652,7 +706,7 @@ class Trainer:
                 pending.append((out, batch["valid"], sampler.scan_of_batch(i)))
         # stack outputs on device, fetch once (one RPC per buffer otherwise)
         outs = [o for o, _, _ in pending]
-        stacked = jax.device_get(jax.tree_util.tree_map(
+        stacked = self._fetch(jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *outs)) if outs else {}
         valids = jax.device_get([v for _, v, _ in pending])
         for b, (_, _, scan) in enumerate(pending):
@@ -747,17 +801,15 @@ class Trainer:
                 h.on_epoch_end()
             if flush_every and self._cur_epoch % flush_every == 0 \
                     and self._cur_epoch < self._max_epoch:
-                save_checkpoint(str(Path(self._save_dir) / "last.ckpt"),
-                                jax.device_get(self._state), self._host_meta())
+                self._save_state("last.ckpt", jax.device_get(self._state),
+                                 self._host_meta())
         jax.block_until_ready(self._state)
         if not records:
             # resumed at/after max_epoch: nothing trained, nothing to drain —
             # keep the restored best score and still write a durable last.ckpt
             final_host = jax.device_get(self._state)
-            save_checkpoint(str(Path(self._save_dir) / "last.ckpt"),
-                            final_host, self._host_meta())
-            from .. import success
-            success(self._save_dir)
+            self._save_state("last.ckpt", final_host, self._host_meta())
+            self._mark_success()
             return self._best_score
         logger.info("deferred run: %d epochs dispatched+executed in %.1fs; draining",
                     self._max_epoch - start + 1, time.time() - t_run)
@@ -775,7 +827,7 @@ class Trainer:
                     if records[0]["test"] is not None else None)
         all_scores = jnp.stack([r["score"] for r in records])
         all_train, all_val, all_test, all_scores, best_params, best_stats, best_score = \
-            jax.device_get((all_train, all_val, all_test, all_scores,
+            self._fetch((all_train, all_val, all_test, all_scores,
                             best_params, best_stats, best_score))
         fetched = [
             (jax.tree_util.tree_map(lambda x: x[e], all_train),
@@ -817,11 +869,10 @@ class Trainer:
         best_state = final_host.replace(
             params={**final_host.params, "model": best_params}, batch_stats=best_stats)
         meta = self._host_meta()
-        save_checkpoint(str(Path(self._save_dir) / "best.ckpt"), best_state, meta)
-        save_checkpoint(str(Path(self._save_dir) / "last.ckpt"), final_host, meta)
+        self._save_state("best.ckpt", best_state, meta)
+        self._save_state("last.ckpt", final_host, meta)
         logger.info("deferred run done | best val DSC %.4f", self._best_score)
-        from .. import success
-        success(self._save_dir)
+        self._mark_success()
         return self._best_score
 
     def _eval_stats_from_stacked(self, out, valids, scans) -> Dict:
@@ -871,9 +922,9 @@ class Trainer:
                 host_state = jax.device_get(self._state)
                 meta = self._host_meta()
                 if is_best:
-                    save_checkpoint(str(Path(self._save_dir) / "best.ckpt"), host_state, meta)
+                    self._save_state("best.ckpt", host_state, meta)
                 if save_last:
-                    save_checkpoint(str(Path(self._save_dir) / "last.ckpt"), host_state, meta)
+                    self._save_state("last.ckpt", host_state, meta)
             self._storage.put_epoch(self._cur_epoch, {**train_stats,
                                                       "val": val_stats, "test": test_stats})
             self._storage.flush()
@@ -887,8 +938,7 @@ class Trainer:
                         self._cur_epoch, cur_score, self._best_score,
                         meter_display(train_stats))
         self._writer.flush()
-        from .. import success
-        success(self._save_dir)
+        self._mark_success()
         return self._best_score
 
     # ----------------------------------------------------------------- io
@@ -899,8 +949,21 @@ class Trainer:
                 "hooks": {h.name: h.state_dict() for h in self._hooks}}
 
     def save_to(self, save_name: str) -> None:
+        if not self._is_master:
+            return  # non-master processes never write checkpoints
         save_checkpoint(str(Path(self._save_dir) / save_name), self._state,
                         self._host_meta())
+
+    def _save_state(self, name: str, state, meta) -> None:
+        """Checkpoint an explicit (host) state — master only."""
+        if self._is_master:
+            save_checkpoint(str(Path(self._save_dir) / name), state, meta)
+
+    def _mark_success(self) -> None:
+        """Drop the .success marker (failure detection) — master only."""
+        if self._is_master:
+            from .. import success
+            success(self._save_dir)
 
     def resume_from_path(self, path: str) -> None:
         assert self.__initialized__, "init() before resume"
@@ -1006,15 +1069,16 @@ class AdversarialTrainer(Trainer):
 
     def _build_steps(self) -> None:
         num_classes = self._model.num_classes
-        self._train_step = build_adversarial_step(
+        self._train_step = self._mh_wrap_step(build_adversarial_step(
             self._model, self._discr, self._optimizer, self._discr_optimizer,
             num_classes=num_classes, policy=self.train_policy,
             reg_weight=self._reg_weight, dis_consider_image=self._dis_consider_image,
-            store=self._train_store())
-        self._eval_step = build_eval_step(self._model, num_classes=num_classes,
-                                          crop=self._crop, store=self._eval_store(),
-                                          val_policy=self.val_policy,
-                                          out_size=self._eval_out_size())
+            store=self._train_store()), "adv")
+        self._eval_step = self._mh_wrap_step(
+            build_eval_step(self._model, num_classes=num_classes,
+                            crop=self._crop, store=self._eval_store(),
+                            val_policy=self.val_policy,
+                            out_size=self._eval_out_size()), "adv_eval")
 
     def _configure_train_meters(self, meters: MeterInterface) -> None:
         super()._configure_train_meters(meters)
@@ -1028,7 +1092,7 @@ class AdversarialTrainer(Trainer):
                                 self._dispatch_batch(batch_u), key)
 
     def _consume_train_metrics(self, meters, metrics, groups, batch_l) -> None:
-        m = jax.device_get(metrics)
+        m = self._fetch(metrics)
         with meters.focus_on(self.train_meter_focus):
             meters["sup_loss"].add(float(m["sup_loss"]))
             keep = np.asarray(batch_l["valid"]).astype(bool)
@@ -1066,17 +1130,17 @@ class _PretrainTrainer(Trainer):
             # instead of O(2N) — the large-global-batch pretrain path
             # (training/gradcache.py; Gao et al. 2021)
             from .gradcache import build_gradcache_pretrain_step
-            self._train_step = build_gradcache_pretrain_step(
+            self._train_step = self._mh_wrap_step(build_gradcache_pretrain_step(
                 self._model, self._hooks, self._optimizer, policy=self.train_policy,
                 total_freedom=self.total_freedom, until=self._forward_until,
                 num_chunks=grad_cache, grad_mask=self._grad_mask,
-                store=self._train_store(), mesh=self._mesh)
+                store=self._train_store(), mesh=self._mesh), "pre_gc")
         else:
-            self._train_step = build_pretrain_step(
+            self._train_step = self._mh_wrap_step(build_pretrain_step(
                 self._model, self._hooks, self._optimizer, policy=self.train_policy,
                 total_freedom=self.total_freedom, until=self._forward_until,
                 grad_mask=self._grad_mask, store=self._train_store(),
-                mesh=self._mesh)
+                mesh=self._mesh), "pre")
         # batch-0 sim/pos/sp-mask TensorBoard dumps (reference
         # semi_seg/hooks/infonce.py:185-193,263-266). Opt-in: the probe is one
         # extra XLA program, and compiles are minutes on this relay.
@@ -1094,10 +1158,11 @@ class _PretrainTrainer(Trainer):
                 self._model, self._hooks, policy=self.train_policy,
                 total_freedom=self.total_freedom, until=self._forward_until,
                 store=self._train_store())
-        self._eval_step = build_eval_step(self._model, num_classes=self._model.num_classes,
-                                          crop=self._crop, store=self._eval_store(),
-                                          val_policy=self.val_policy,
-                                          out_size=self._eval_out_size())
+        self._eval_step = self._mh_wrap_step(
+            build_eval_step(self._model, num_classes=self._model.num_classes,
+                            crop=self._crop, store=self._eval_store(),
+                            val_policy=self.val_policy,
+                            out_size=self._eval_out_size()), "pre_eval")
 
     def _run_train_epoch(self) -> Dict:
         meters = MeterInterface(default_focus=self.train_meter_focus)
@@ -1166,7 +1231,7 @@ class _PretrainTrainer(Trainer):
         with meters.focus_on(self.train_meter_focus):
             meters["lr"].add(self._host_lr())
         if dumped_matrices is not None:
-            for hname, mats in jax.device_get(dumped_matrices).items():
+            for hname, mats in self._fetch(dumped_matrices).items():
                 for mname, m in mats.items():
                     self._writer.add_matrix_image(f"{hname}/{mname}", m, self._cur_epoch)
         stats = meters.statistics()
@@ -1192,8 +1257,7 @@ class _PretrainTrainer(Trainer):
                 h.on_epoch_end()
             logger.info("pretrain epoch %03d | %s", self._cur_epoch,
                         meter_display(train_stats))
-        from .. import success
-        success(self._save_dir)
+        self._mark_success()
         return 0.0
 
     def _start_pretrain_deferred(self) -> float:
@@ -1232,7 +1296,7 @@ class _PretrainTrainer(Trainer):
                     self._max_epoch - start + 1, time.time() - t_run)
         all_train = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *[r["train"] for r in records])
-        all_train = jax.device_get(all_train)
+        all_train = self._fetch(all_train)
         fetched = [jax.tree_util.tree_map(lambda x: x[e], all_train)
                    for e in range(len(records))]
         for r, stacked in zip(records, fetched):
@@ -1259,8 +1323,7 @@ class _PretrainTrainer(Trainer):
             logger.info("pretrain epoch %03d | %s", r["epoch"], meter_display(stats))
         self._storage.flush()
         self.save_to("last.ckpt")
-        from .. import success
-        success(self._save_dir)
+        self._mark_success()
         return 0.0
 
 

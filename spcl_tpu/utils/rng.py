@@ -33,7 +33,9 @@ class KeyChain:
 
     def __init__(self, seed: int, counter: int = 0):
         self._seed = int(seed)
-        self._cpu = jax.devices("cpu")[0]
+        # local_devices: jax.devices("cpu")[0] is process 0's device on a
+        # multi-host cluster — non-addressable from any other process
+        self._cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(self._cpu):
             self._base = jax.random.PRNGKey(self._seed)
         self._counter = int(counter)

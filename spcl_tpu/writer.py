@@ -63,3 +63,11 @@ class SummaryWriter:
     def __exit__(self, *exc):
         self.close()
         return False
+
+
+class NullWriter(SummaryWriter):
+    """Writer for non-master processes (multi-host): same interface, no IO."""
+
+    def __init__(self):  # noqa: D401 — deliberately no log_dir
+        self._log_dir = None
+        self._tb = None

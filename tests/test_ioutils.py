@@ -151,3 +151,99 @@ def test_pack_dataset_cli_from_archive(tmp_path):
          "--name", "acdc", "--out", str(out)],
         capture_output=True, text=True, cwd=str(REPO))
     assert r.returncode != 0 and "md5" in (r.stderr + r.stdout)
+
+
+# --------------------------------------------------------------- gdrive flow
+class _DriveFixture:
+    """Local HTTP server mimicking Google Drive's download flows
+    (VERDICT r4 item 7): direct bytes for small files; the modern hidden-form
+    interstitial and the legacy download_warning-cookie flow for large ones."""
+
+    def __init__(self, payload: bytes, flow: str):
+        import http.server
+        import threading
+        fixture = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                from urllib.parse import parse_qs, urlparse
+                q = parse_qs(urlparse(self.path).query)
+                path = urlparse(self.path).path
+                fixture.requests.append(self.path)
+                if path == "/uc" and fixture.flow == "direct":
+                    return self._bytes()
+                if path == "/uc" and fixture.flow == "cookie":
+                    if q.get("confirm"):
+                        return self._bytes()
+                    return self._html(
+                        "<html>virus scan warning, no form</html>",
+                        cookie="download_warning_123=tok42; Path=/")
+                if path == "/uc":  # form flow
+                    return self._html(
+                        '<html><form id="download-form" '
+                        'action="/download" method="get">'
+                        '<input type="hidden" name="id" value="FILEID">'
+                        '<input type="hidden" name="export" value="download">'
+                        '<input type="hidden" name="confirm" value="t">'
+                        '<input type="hidden" name="uuid" value="u-1">'
+                        "</form></html>")
+                if path == "/download" and q.get("confirm") == ["t"] \
+                        and q.get("uuid") == ["u-1"]:
+                    return self._bytes()
+                self.send_response(404)
+                self.end_headers()
+
+            def _bytes(self):
+                self.send_response(200)
+                self.send_header("Content-Type", "application/zip")
+                self.end_headers()
+                self.wfile.write(fixture.payload)
+
+            def _html(self, body: str, cookie=None):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                if cookie:
+                    self.send_header("Set-Cookie", cookie)
+                self.end_headers()
+                self.wfile.write(body.encode())
+
+        self.payload = payload
+        self.flow = flow
+        self.requests = []
+        self.server = http.server.HTTPServer(("localhost", 0), Handler)
+        self.thread = threading.Thread(target=self.server.serve_forever,
+                                       daemon=True)
+        self.thread.start()
+        self.base = f"http://localhost:{self.server.server_port}"
+
+    def close(self):
+        self.server.shutdown()
+
+
+@pytest.mark.parametrize("flow", ["direct", "form", "cookie"])
+def test_gdrive_opener_flows(tmp_path, flow):
+    from spcl_tpu.data.ioutils import gdrive_opener
+
+    payload = b"PK-fake-zip-bytes" * 64
+    fx = _DriveFixture(payload, flow)
+    try:
+        dest = tmp_path / "f.zip"
+        gdrive_opener("https://drive.google.com/uc?id=FILEID", dest,
+                      _base=fx.base)
+        assert dest.read_bytes() == payload
+        if flow != "direct":
+            assert len(fx.requests) == 2, fx.requests
+    finally:
+        fx.close()
+
+
+def test_gdrive_file_id_extraction():
+    from spcl_tpu.data.ioutils import _gdrive_file_id
+    assert _gdrive_file_id(
+        "https://drive.google.com/uc?id=abc_DEF-123") == "abc_DEF-123"
+    assert _gdrive_file_id(
+        "https://drive.google.com/file/d/xYz-9/view?usp=sharing") == "xYz-9"
+    assert _gdrive_file_id("https://example.com/data.zip") is None
