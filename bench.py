@@ -31,6 +31,10 @@ Output: ONE json line with the fields
   finetune_ms_per_step        bf16 supervised finetune step (BASELINE cfg 2)
   semi_ms_per_step            bf16 semi step, MT+consistency hooks (cfg 5)
   semi_slices_per_sec         10 slices (5 lab + 5 unl) per semi step
+  prod_finetune_b64_*         bf16 finetune at the production batch (64 —
+                              config/specific/production_finetune.yaml)
+  prod_semi_b32_*             bf16 semi at the production batch (32+32 —
+                              config/specific/production_semi.yaml)
   eval_ms_per_step            bf16 12-slice per-scan eval step (cfg 1)
   eval_packed96_ms_per_step   bf16 96-slice packed-eval program (Trainer.packed_eval)
   dispatch_ack_slices_per_sec relay ack rate (NOT a device measurement)
@@ -232,21 +236,26 @@ def measure_step_matrix(dtype_name="bfloat16", *, crop=None, canvas=None,
 
     import numpy as _np
     rng = _np.random.RandomState(0)
-    mat5 = rng.randint(0, len(ds), size=(200, 5)).astype(_np.int32)
     out = {}
 
-    # ---- finetune
+    def mat(b):
+        return jax.device_put(rng.randint(0, len(ds), size=(50, b)).astype(_np.int32))
+
+    scal = jax.device_put({})
+    # ---- finetune: reference shape (5 slices) + production shape (64 —
+    # measured batch-scaling knee, config/specific/production_finetune.yaml)
     ft = build_finetune_step(model, optimizer, num_classes=4, policy=label_policy,
                              store=store)
-    scal = jax.device_put({})
-    dev5 = jax.device_put(mat5)
-    out["finetune"] = time_epoch_step(ft, mk_state(False), dev5, scal)
+    out["finetune"] = time_epoch_step(ft, mk_state(False), mat(5), scal)
+    out["prod_finetune_b64"] = time_epoch_step(ft, mk_state(False), mat(64), scal)
 
-    # ---- semi (MT + consistency)
+    # ---- semi (MT + consistency): reference 5+5 + production 32+32
+    # (config/specific/production_semi.yaml)
     semi = build_semi_step(model, hooks, optimizer, num_classes=4,
                            policy=label_policy, store=store)
-    dev5b = jax.device_put(rng.randint(0, len(ds), size=(200, 5)).astype(_np.int32))
-    out["semi"] = time_epoch_step(semi, mk_state(True), dev5, dev5b, scal)
+    out["semi"] = time_epoch_step(semi, mk_state(True), mat(5), mat(5), scal)
+    out["prod_semi_b32"] = time_epoch_step(semi, mk_state(True), mat(32), mat(32),
+                                           scal)
 
     # ---- eval (12-slice scan batch; + the packed-eval production geometry,
     # Trainer.packed_eval=96 — RESULTS.md round-4 packed-eval table)
@@ -422,6 +431,12 @@ def main():
     if matrix.get("semi"):
         # 5 labeled + 5 unlabeled slices per semi step
         out["semi_slices_per_sec"] = round(10 * 1000.0 / matrix["semi"], 1)
+    if matrix.get("prod_finetune_b64"):
+        out["prod_finetune_b64_slices_per_sec"] = round(
+            64 * 1000.0 / matrix["prod_finetune_b64"], 1)
+    if matrix.get("prod_semi_b32"):
+        out["prod_semi_b32_slices_per_sec"] = round(
+            64 * 1000.0 / matrix["prod_semi_b32"], 1)
     # >=3x-V100 goal status, argued as a bound (no V100 exists here):
     # a V100 at its 15.7 TFLOP/s f32 peak needs flops/15.7e12 per step at
     # 100% utilization; typical conv-net utilization is 30-50%.

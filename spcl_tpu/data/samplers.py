@@ -92,8 +92,11 @@ class ScanBatchSampler:
             yield idx
 
     def scan_of_batch(self, i: int) -> str:
-        scans = self._scans  # only valid when shuffle=False
-        return scans[i]
+        # iteration order == self._scans only without shuffling; callers
+        # pairing batches with scan names must not use a shuffled sampler
+        assert not self._shuffle, \
+            "scan_of_batch is undefined under shuffle=True (ADVICE r4)"
+        return self._scans[i]
 
 
 class SequentialBatchSampler:

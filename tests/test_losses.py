@@ -43,7 +43,9 @@ def golden_supcon(z1, z2, labels, t=0.07, gamma=None, mode="hard", correct_grad=
                 w = float(l_ij <= gamma) if mode == "hard" else max(1 - l_ij / gamma, 0.0)
             sp_weights.append(w)
             acc += w * log_lik
-        loss_rows.append(acc / len(pos))
+        if pos:  # a row with no positives contributes nothing (matches the
+            # reference's mask semantics; fixtures normally always have some)
+            loss_rows.append(acc / len(pos))
     loss = -np.mean(loss_rows)
     ratio = np.mean(sp_weights) if sp_weights else 1.0
     if correct_grad and gamma is not None and ratio > 0:
