@@ -49,3 +49,20 @@ def test_val_requires_checkpoint():
     import val as entry
     with pytest.raises(SystemExit):
         entry.main(TINY)
+
+
+def test_production_configs_build_and_run(tmp_path):
+    """config/specific/production_{finetune,semi}.yaml (round 5): the shipped
+    production shapes parse, build, and run a tiny epoch with packed eval on
+    (batch sizes shrunk — the tiny fixture has few slices; the yaml's
+    batch/packed_eval knobs themselves are exercised verbatim elsewhere on
+    the device bench)."""
+    import main as entry
+    for cfg in ("config/specific/production_finetune.yaml",
+                "config/specific/production_semi.yaml"):
+        score = entry.main(TINY + [
+            f"Trainer.save_dir={tmp_path}/{cfg.split('/')[-1]}",
+            "Trainer.packed_eval=12",
+            "--opt-path", cfg,
+        ])
+        assert 0.0 <= score <= 1.0
