@@ -148,10 +148,8 @@ def collect():
     rows = {}
     for arm in ARMS:
         vals = []
-        for seed in SEEDS:
-            p = OUT / f"{arm}_s{seed}.json"
-            if p.exists():
-                vals.append(json.loads(p.read_text())["best_val_dice"])
+        for p in sorted(OUT.glob(f"{arm}_s*.json")):
+            vals.append(json.loads(p.read_text())["best_val_dice"])
         if vals:
             rows[arm] = (float(np.mean(vals)), float(np.std(vals)), len(vals))
     print(json.dumps({k: {"mean": round(m, 4), "std": round(s, 4), "n": n}
@@ -175,6 +173,11 @@ def main():
     ap.add_argument("--collect", action="store_true")
     ap.add_argument("--jobs", type=int, default=3)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--seeds", default=None,
+                    help="comma-separated seed list for orchestration "
+                         f"(default {SEEDS})")
+    ap.add_argument("--arms", default=None,
+                    help="comma-separated arm subset for orchestration")
     args = ap.parse_args()
     if args.collect:
         collect()
@@ -183,7 +186,11 @@ def main():
         run_arm(args.arm, args.seed if args.seed is not None else SEEDS[0])
         return
     # orchestrate: every (arm, seed) in its own process
-    todo = [(a, s) for a in ARMS for s in SEEDS
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+             else list(SEEDS))
+    arms = (args.arms.split(",") if args.arms else list(ARMS))
+    assert all(a in ARMS for a in arms), arms
+    todo = [(a, s) for a in arms for s in seeds
             if args.force or not (OUT / f"{a}_s{s}.json").exists()]
     OUT.mkdir(parents=True, exist_ok=True)
     procs = []
