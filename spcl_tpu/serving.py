@@ -117,6 +117,129 @@ def load_artifact(path: str) -> ServedModel:
     return ServedModel(meta, exported)
 
 
+def _prepare_input(x, meta: Dict[str, Any]):
+    """Coerce a request array to the artifact's input contract.
+
+    Accepts [H,W], [H,W,C], [B,H,W] or [B,H,W,C]; uint8 scales to [0,1]
+    (the pack-time encoding, data/packing.py); floats pass through. Spatial
+    dims and channel count must match the artifact; a pinned batch dim must
+    match exactly. Returns (x_f32_nhwc, squeeze_batch)."""
+    import numpy as np
+
+    shape = meta["input_shape"]  # e.g. ["b", "224", "224", "1"]
+    h, w, c = int(shape[1]), int(shape[2]), int(shape[3])
+    x = np.asarray(x)
+    squeeze = False
+    if x.ndim == 2:
+        x, squeeze = x[None, :, :, None], True
+    elif x.ndim == 3:
+        # [H,W,C] if trailing dim matches channels, else [B,H,W]
+        if x.shape[-1] == c and x.shape[0] == h and x.shape[1] == w:
+            x, squeeze = x[None], True
+        else:
+            x = x[..., None]
+    if x.ndim != 4 or x.shape[1:] != (h, w, c):
+        raise ValueError(f"input shape {x.shape} does not match artifact "
+                         f"[b, {h}, {w}, {c}]")
+    if not shape[0].isdigit():
+        pass  # symbolic batch: any b
+    elif x.shape[0] != int(shape[0]):
+        raise ValueError(f"artifact has pinned batch {shape[0]}; got {x.shape[0]}")
+    if x.dtype == np.uint8:
+        x = x.astype(np.float32) / 255.0
+    return x.astype(np.float32, copy=False), squeeze
+
+
+def make_http_server(artifact_path: str, host: str = "127.0.0.1",
+                     port: int = 8000):
+    """A minimal stdlib HTTP inference host over one artifact — the serving
+    box needs jax + numpy only (no spcl_tpu model code; this module is
+    self-contained enough to copy there).
+
+    Endpoints:
+      GET  /meta      -> artifact header JSON
+      GET  /healthz   -> {"ok": true}
+      POST /predict   -> body: one ``.npy`` array ([H,W], [H,W,C], [B,H,W]
+                         or [B,H,W,C]; uint8 or float). Response: ``.npy``
+                         int32 label map, or with ``?outputs=logits`` the
+                         f32 logits, or ``?outputs=both`` an ``.npz`` with
+                         both. Batch squeezed iff the request was unbatched.
+
+    Device execution is serialized with a lock (one accelerator stream);
+    the ThreadingHTTPServer keeps request parsing concurrent. Returns the
+    server; call ``.serve_forever()`` (CLI: scripts/serve.py)."""
+    import io
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    import numpy as np
+
+    served = load_artifact(artifact_path)
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj: Dict[str, Any]) -> None:
+            self._send(code, json.dumps(obj).encode("utf-8"), "application/json")
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/meta":
+                self._send_json(200, served.meta)
+            elif path == "/healthz":
+                self._send_json(200, {"ok": True})
+            else:
+                self._send_json(404, {"error": f"no route {path}"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/predict":
+                self._send_json(404, {"error": f"no route {url.path}"})
+                return
+            outputs = parse_qs(url.query).get("outputs", ["pred"])[0]
+            if outputs not in ("pred", "logits", "both"):
+                self._send_json(400, {"error": f"outputs={outputs!r} not in "
+                                               "pred|logits|both"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                x = np.load(io.BytesIO(self.rfile.read(n)), allow_pickle=False)
+                x, squeeze = _prepare_input(x, served.meta)
+            except Exception as e:
+                self._send_json(400, {"error": str(e)})
+                return
+            try:
+                with lock:
+                    out = served(x)
+                res = {k: np.asarray(v)[0] if squeeze else np.asarray(v)
+                       for k, v in out.items()}
+            except Exception as e:
+                # e.g. artifact not lowered for this host's platform —
+                # report it instead of killing the connection
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            buf = io.BytesIO()
+            if outputs == "both":
+                np.savez(buf, **res)
+            else:
+                np.save(buf, res[outputs])
+            self._send(200, buf.getvalue(), "application/octet-stream")
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.served_model = served  # warmup/testing handle
+    return server
+
+
 def export_from_checkpoint(checkpoint: str, out_path: str, *, config: Dict,
                            height: int, width: int,
                            batch_size: Optional[int] = None,
