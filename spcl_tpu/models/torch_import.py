@@ -85,15 +85,27 @@ def flax_from_torch_state_dict(sd: Dict[str, np.ndarray]
     return params, stats
 
 
-def torch_state_dict_from_flax(params: Dict, batch_stats: Dict
+def torch_state_dict_from_flax(params: Dict, batch_stats: Dict,
+                               allow_partial: bool = False
                                ) -> Dict[str, np.ndarray]:
-    """Inverse of :func:`flax_from_torch_state_dict` (numpy values;
+    """Inverse of :func:`flax_from_torch_state_dict` (numpy values, cast to
+    f32 so bf16-trained params load into torch's default-dtype modules;
     ``num_batches_tracked`` emitted as 0 — torch only consumes it when
-    ``momentum=None``, which the reference never uses)."""
+    ``momentum=None``, which the reference never uses).
+
+    ``allow_partial=True`` skips blocks absent from ``params`` (an
+    encoder-only pretrain checkpoint stops at ``forward_until``); the torch
+    side must then use ``load_state_dict(sd, strict=False)`` — the same
+    tolerance the reference's own warm start applies
+    (/root/reference/contrastyou/trainer/base.py ``load_state_dict`` on the
+    extracted ``"_model"`` dict with the decoder freshly initialized)."""
     import jax
 
-    params = jax.tree_util.tree_map(np.asarray, params)
-    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+    def f32(x):
+        return np.asarray(x, dtype=np.float32)
+
+    params = jax.tree_util.tree_map(f32, params)
+    batch_stats = jax.tree_util.tree_map(f32, batch_stats)
     sd: Dict[str, np.ndarray] = {}
 
     def put_bn(prefix: str, p: Dict, s: Dict) -> None:
@@ -103,19 +115,46 @@ def torch_state_dict_from_flax(params: Dict, batch_stats: Dict
         sd[f"{prefix}.running_var"] = s["var"]
         sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
 
+    def have(name: str) -> bool:
+        if name in params:
+            return True
+        if not allow_partial:
+            raise KeyError(
+                f"block {name!r} missing from params; encoder-only trees "
+                f"need allow_partial=True (torch side: strict=False)")
+        return False
+
     for name in _CONV_BLOCKS:
+        if not have(name):
+            continue
         t = f"_{name}.conv"
         sd[f"{t}.0.weight"] = _hwio_to_oihw(params[name]["conv0"]["kernel"])
         put_bn(f"{t}.1", params[name]["bn0"], batch_stats[name]["bn0"])
         sd[f"{t}.3.weight"] = _hwio_to_oihw(params[name]["conv1"]["kernel"])
         put_bn(f"{t}.4", params[name]["bn1"], batch_stats[name]["bn1"])
     for name in _UP_BLOCKS:
+        if not have(name):
+            continue
         t = f"_{name}.up"
         sd[f"{t}.1.weight"] = _hwio_to_oihw(params[name]["conv"]["kernel"])
         put_bn(f"{t}.2", params[name]["bn"], batch_stats[name]["bn"])
-    sd["_Deconv_1x1.weight"] = _hwio_to_oihw(params["Deconv_1x1"]["kernel"])
-    sd["_Deconv_1x1.bias"] = params["Deconv_1x1"]["bias"]
+    if have("Deconv_1x1"):
+        sd["_Deconv_1x1.weight"] = _hwio_to_oihw(params["Deconv_1x1"]["kernel"])
+        sd["_Deconv_1x1.bias"] = params["Deconv_1x1"]["bias"]
     return sd
+
+
+def read_model_tree(checkpoint_path: str) -> Tuple[Dict, Dict]:
+    """Raw ``(params['model'], batch_stats)`` out of any spcl_tpu checkpoint
+    (full trainer ckpt or warm start) WITHOUT a shape template — the
+    template-free counterpart of ``training/checkpoint.py::load_model_params``
+    for tooling that only re-serializes the tree (e.g. the torch exporter)."""
+    from flax import serialization
+
+    with open(checkpoint_path, "rb") as f:
+        blob = pickle.load(f)
+    full = serialization.msgpack_restore(blob["state_bytes"])
+    return full["params"]["model"], full.get("batch_stats", {})
 
 
 def write_warm_start(path: str, params: Dict, batch_stats: Dict) -> None:

@@ -187,6 +187,83 @@ def test_importer_cli_feeds_warm_start(ref_unet_cls, tmp_path):
     np.testing.assert_allclose(_nchw(ours), ref, rtol=1e-4, atol=1e-4)
 
 
+def test_exporter_cli_reference_loads(ref_unet_cls, tmp_path):
+    """scripts/export_torch_checkpoint.py: flax warm start -> '_model'-keyed
+    .pth -> reference net load_state_dict(strict=True) -> logits match the
+    flax eval forward (weights trained here run in the reference ecosystem)."""
+    import torch
+
+    from scripts.export_torch_checkpoint import main as export_main
+
+    fnet = UNet(input_dim=1, num_classes=4, max_channel=128)
+    x = np.random.RandomState(4).randn(2, 1, 64, 64).astype(np.float32)
+    variables = fnet.init(jax.random.PRNGKey(7),
+                          jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+    # randomize running stats away from the 0/1 init so eval parity
+    # exercises them
+    rng = np.random.RandomState(5)
+    stats = jax.tree_util.tree_map(
+        lambda v: np.abs(rng.normal(1.0, 0.3, np.shape(v))).astype(np.float32),
+        jax.tree_util.tree_map(np.asarray, variables["batch_stats"]))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    ckpt = tmp_path / "ours.ckpt"
+    pth = tmp_path / "export.pth"
+    write_warm_start(str(ckpt), params, stats)
+    export_main([str(ckpt), str(pth)])
+
+    blob = torch.load(pth, map_location="cpu")
+    net = ref_unet_cls(input_dim=1, num_classes=4, max_channel=128)
+    net.load_state_dict(blob["_model"], strict=True)
+    net.eval()
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    ours = fnet.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                      train=False)["logits"]
+    np.testing.assert_allclose(_nchw(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_exporter_partial_encoder_only(ref_unet_cls, tmp_path):
+    """An encoder-only pretrain checkpoint (params stop at Conv5) exports the
+    blocks it has; the reference loads it with strict=False — its own warm-
+    start tolerance — and the encoder forward matches until=Conv5."""
+    import torch
+
+    from scripts.export_torch_checkpoint import main as export_main
+
+    fnet = UNet(input_dim=1, num_classes=4, max_channel=128)
+    x = np.random.RandomState(6).randn(2, 1, 64, 64).astype(np.float32)
+    variables = fnet.init(jax.random.PRNGKey(8),
+                          jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+    enc = ("Conv1", "Conv2", "Conv3", "Conv4", "Conv5")
+    params = {k: v for k, v in
+              jax.tree_util.tree_map(np.asarray, variables["params"]).items()
+              if k in enc}
+    stats = {k: v for k, v in
+             jax.tree_util.tree_map(np.asarray, variables["batch_stats"]).items()
+             if k in enc}
+
+    ckpt = tmp_path / "enc.ckpt"
+    pth = tmp_path / "enc.pth"
+    write_warm_start(str(ckpt), params, stats)
+    export_main([str(ckpt), str(pth)])
+
+    sd = torch.load(pth, map_location="cpu")["_model"]
+    assert all(k.startswith(tuple(f"_{n}." for n in enc)) for k in sd)
+    net = ref_unet_cls(input_dim=1, num_classes=4, max_channel=128)
+    missing = net.load_state_dict(sd, strict=False).missing_keys
+    assert missing and all(k.startswith(("_Up", "_Deconv")) for k in missing)
+    net.eval()
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x), until="Conv5").numpy()
+    acts = fnet.apply({"params": variables["params"],
+                       "batch_stats": variables["batch_stats"]},
+                      jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                      train=False, until="Conv5")
+    np.testing.assert_allclose(_nchw(acts["Conv5"]), ref, rtol=1e-4, atol=1e-4)
+
+
 def test_write_warm_start_matches_transplant(ref_unet_cls, tmp_path):
     from spcl_tpu.training.checkpoint import load_model_params
 
