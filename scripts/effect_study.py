@@ -185,6 +185,8 @@ def main():
     if args.arm is not None:
         run_arm(args.arm, args.seed if args.seed is not None else SEEDS[0])
         return
+    if args.seed is not None:
+        ap.error("--seed only applies with --arm; use --seeds for orchestration")
     # orchestrate: every (arm, seed) in its own process
     seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
              else list(SEEDS))
@@ -193,7 +195,7 @@ def main():
     todo = [(a, s) for a in arms for s in seeds
             if args.force or not (OUT / f"{a}_s{s}.json").exists()]
     OUT.mkdir(parents=True, exist_ok=True)
-    procs = []
+    procs, failed = [], []
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     while todo or procs:
         while todo and len(procs) < args.jobs:
@@ -209,7 +211,15 @@ def main():
             if p.poll() is not None:
                 log.close()
                 print(f"done {a} seed={s} rc={p.returncode}", flush=True)
+                if p.returncode != 0:
+                    failed.append((a, s))
                 procs.remove(item)
+    if failed:
+        # refuse to report headline deltas over partial/unbalanced seed sets
+        raise SystemExit(
+            f"{len(failed)} arm(s) failed: "
+            + ", ".join(f"{a} seed={s}" for a, s in failed)
+            + f" — see logs under {OUT}; rerun before collecting")
     collect()
 
 

@@ -43,8 +43,10 @@ def main(argv=None):
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     params, stats = flax_from_torch_state_dict(sd)
     write_warm_start(args.dst, params, stats)
-    n = sum(v.size for leaf in (params,) for v in _leaves(leaf))
-    print(f"wrote {args.dst}: {n} params imported from {args.src}")
+    n = sum(v.size for v in _leaves(params))
+    ns = sum(v.size for v in _leaves(stats))
+    print(f"wrote {args.dst}: {n} params + {ns} batch-stat values "
+          f"imported from {args.src}")
 
 
 def _leaves(tree):

@@ -119,8 +119,10 @@ def gdrive_opener(url: str, dest: Path, _base: Optional[str] = None) -> None:
             raise RuntimeError(
                 f"Google Drive returned HTML without a confirm form for "
                 f"{url} — file may be private, removed, or quota-limited")
-        if _base and action.startswith("/"):
-            action = _base + action
+        # Drive's interstitial may use a relative action (e.g. "/uc?...");
+        # resolve against the URL that served the form, not just the
+        # test-only _base override.
+        action = urllib.parse.urljoin(getattr(r, "url", None) or first, action)
         nxt = action + ("&" if "?" in action else "?") + \
             urllib.parse.urlencode(params)
     r2 = fetch(nxt)

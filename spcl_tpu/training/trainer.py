@@ -708,7 +708,11 @@ class Trainer:
         outs = [o for o, _, _ in pending]
         stacked = self._fetch(jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *outs)) if outs else {}
-        valids = jax.device_get([v for _, v, _ in pending])
+        # `valid` comes back as a batch-sharded device array on the
+        # host-streaming path (device_prefetch shards it across processes on
+        # a multi-host mesh) — fetch through the same all_gather-first path
+        # as the step outputs; the other branches carry host numpy (no-op).
+        valids = self._fetch([v for _, v, _ in pending])
         for b, (_, _, scan) in enumerate(pending):
             out = jax.tree_util.tree_map(lambda x: x[b], stacked)
             meters["loss"].add(float(out["loss"]))

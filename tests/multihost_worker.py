@@ -67,12 +67,29 @@ def main():
     tr2.init()
     best = float(tr2.start_training())
 
+    # host-streaming ingestion (device_data=False): batches (and eval
+    # `valid` masks) are put as batch-sharded device arrays via
+    # device_prefetch — the eval fetch must all_gather before device_get
+    # on a multi-host mesh (trainer.py::_fetch)
+    ft_stream = {
+        "RandomSeed": 7, "Arch": arch, "Data": dict(data),
+        "Optim": {"name": "adam", "lr": 1e-3},
+        "LabeledLoader": {"batch_size": 8},
+        "Trainer": {"name": "finetune", "max_epoch": 2, "num_batches": 4,
+                    "mesh": "auto", "device_data": False,
+                    "save_dir": str(base / "ft_stream")},
+    }
+    tr3 = build_trainer(ft_stream, save_dir=str(base / "ft_stream"))
+    tr3.init()
+    best_stream = float(tr3.start_training())
+
     print(json.dumps({
         "pid": args.pid,
         "process_count": jax.process_count(),
         "is_master": bool(tr._is_master),
         "pre_loss": pre_loss,
         "best_dice": best,
+        "best_dice_stream": best_stream,
         "pre_ckpt": (base / "pre" / "last.ckpt").exists(),
         "ft_best_ckpt": (base / "ft" / "best.ckpt").exists(),
         "csv": (base / "ft" / "storage.csv").exists(),

@@ -240,6 +240,24 @@ def test_gdrive_opener_flows(tmp_path, flow):
         fx.close()
 
 
+def test_gdrive_form_flow_relative_action_without_base(tmp_path):
+    # production path: no _base override — a relative form action must be
+    # resolved against the URL that served the interstitial (urljoin), not
+    # passed raw to urlopen ("unknown url type")
+    from spcl_tpu.data.ioutils import gdrive_opener
+
+    payload = b"PK-fake-zip-bytes" * 64
+    fx = _DriveFixture(payload, "form")
+    try:
+        dest = tmp_path / "f.zip"
+        # no extractable file id -> the URL itself is fetched as-is
+        gdrive_opener(f"{fx.base}/uc?export=download", dest)
+        assert dest.read_bytes() == payload
+        assert len(fx.requests) == 2, fx.requests
+    finally:
+        fx.close()
+
+
 def test_gdrive_file_id_extraction():
     from spcl_tpu.data.ioutils import _gdrive_file_id
     assert _gdrive_file_id(

@@ -83,6 +83,14 @@ def test_two_process_training_matches_single_process(tmp_path):
                                rtol=1e-6)
     np.testing.assert_allclose(recs[0]["best_dice"], recs[1]["best_dice"],
                                rtol=1e-6)
+    # host-streaming ingestion (device_data=False): batches and eval `valid`
+    # masks arrive as batch-sharded device arrays, so the eval fetch must
+    # all_gather first (trainer.py::_fetch). Both processes must agree
+    # bitwise; the trajectory itself differs from the device-data run (batch
+    # assembly differs), so only sanity-bound the score.
+    np.testing.assert_allclose(recs[0]["best_dice_stream"],
+                               recs[1]["best_dice_stream"], rtol=1e-6)
+    assert 0.0 <= recs[0]["best_dice_stream"] <= 1.0
 
     # IO gating: process 0 wrote everything, process 1 wrote nothing
     assert recs[0]["pre_ckpt"] and recs[0]["ft_best_ckpt"] and recs[0]["csv"]
